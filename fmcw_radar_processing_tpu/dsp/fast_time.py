@@ -1,0 +1,100 @@
+"""Fast-time (range) processing as a single fused MXU matmul.
+
+The reference's fast-time chain (radar_processing.m:201-207) is, per chirp
+column x ∈ C^NTS:
+
+    1. calibration subtract + IF scale:   y = (x − calib) · IF_scale      (:203)
+    2. per-chirp DC removal:              y ← y − mean(y)                 (:204)
+    3. range window:                      y ← y ⊙ 2·blackman(NTS)         (:205)
+    4. zero-padded range FFT:             Y = FFT_K(y),  K = 256          (:205)
+
+Every step is linear (or affine) in x, so the whole chain collapses to
+
+    Y = M x − M·(calib·IF_scale),
+    M = F_K[:, :NTS] · diag(w) · (I − 11ᵀ/NTS) · IF_scale
+
+one K×NTS complex matrix applied to every chirp of every frame. On TPU this
+is the idiomatic formulation: a zero-padded 256-point FFT of a 64-sample
+chirp *is* a 256×64 matrix multiply, and batching it over
+(frames · chirps) columns turns the reference's serial per-frame loop
+(radar_processing.m:197) into one large MXU matmul with perfect weight reuse
+— no FFT butterflies, no scalar loops, no per-frame dispatch.
+
+The operator matrix is built once per configuration on the host in float64
+and becomes a compile-time constant under jit.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from fmcw_radar_processing_tpu.config import RadarConfig
+from fmcw_radar_processing_tpu.dsp.windows import blackman
+
+
+def dft_matrix(k: int, n: int) -> np.ndarray:
+    """First ``n`` columns of the K-point DFT matrix (zero-padding operator)."""
+    kk = np.arange(k)[:, None]
+    nn = np.arange(n)[None, :]
+    return np.exp(-2j * np.pi * kk * nn / k)
+
+
+def build_fast_time_matrix(cfg: RadarConfig) -> np.ndarray:
+    """M = F_K[:, :NTS] · diag(2·blackman) · (I − 11ᵀ/NTS) · IF_scale."""
+    nts = cfg.nts
+    k = cfg.range_fft_size
+    w = 2.0 * blackman(nts)
+    demean = np.eye(nts) - np.full((nts, nts), 1.0 / nts)
+    m = dft_matrix(k, nts) @ np.diag(w) @ demean * cfg.derived.if_scale
+    return m.astype(np.complex128)
+
+
+@dataclasses.dataclass(frozen=True)
+class FastTimeOperator:
+    """Precomputed fused fast-time operator for a fixed RadarConfig.
+
+    ``matrix``: (K, NTS) complex64 — the fused chain operator M.
+    ``offset(calib)``: (K,) complex64 — M @ calib (the affine part).
+
+    Call with raw chirps laid out as [..., PN, NTS] (chirps along the
+    second-to-last axis, ADC samples last — the TPU-friendly layout, with
+    the contraction axis innermost). Returns range FFT [..., PN, K].
+    """
+
+    matrix: jax.Array  # (K, NTS) complex64
+
+    @classmethod
+    def create(cls, cfg: RadarConfig) -> "FastTimeOperator":
+        return cls(matrix=jnp.asarray(build_fast_time_matrix(cfg), jnp.complex64))
+
+    def offset(self, calib: jax.Array) -> jax.Array:
+        """M @ calib — precompute once per recording (calib is per-device)."""
+        return self.matrix @ calib.astype(jnp.complex64)
+
+    def __call__(self, raw: jax.Array, calib: jax.Array) -> jax.Array:
+        """Apply the fused chain.
+
+        raw:   [..., PN, NTS] real or complex ADC samples (rx1 of tx1,
+               matching matrix_raw_data(:,:,1) at radar_processing.m:202).
+        calib: [NTS] complex calibration vector (radar_processing.m:174).
+        returns range_fft [..., PN, K] complex64.
+        """
+        x = raw.astype(jnp.complex64)
+        y = jnp.einsum("...pn,kn->...pk", x, self.matrix)
+        return y - self.offset(calib)
+
+
+def range_profile(range_fft: jax.Array) -> jax.Array:
+    """Non-coherent integration across chirps (radar_processing.m:210).
+
+    MATLAB's ``abs(max(X, [], 2))`` on a complex array picks, per range bin,
+    the chirp whose FFT value has the largest magnitude, then takes its
+    magnitude — which equals the max of magnitudes.
+
+    range_fft: [..., PN, K] → profile [..., K] float32.
+    """
+    return jnp.max(jnp.abs(range_fft), axis=-2)
