@@ -1,0 +1,108 @@
+"""The per-frame processing chain, batched over a whole recording.
+
+The reference iterates frames serially (radar_processing.m:197-261). Here
+the chain is one traced function over the full [F, PN, NTS] recording —
+every stage is batched, so XLA sees two large matmuls (range DFT, Doppler
+DFT) plus fused elementwise/reduction epilogues, and the MXU stays busy for
+the entire recording instead of dispatching per frame.
+
+Variable-length state (the concatenated slow-time signal,
+radar_processing.m:255-260) is handled with the fixed-capacity idiom:
+chirp rows of detected frames are scatter-packed into a [F·PN] buffer with
+a valid count — no dynamic shapes, no host round-trips inside the graph.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from fmcw_radar_processing_tpu.config import RadarConfig
+from fmcw_radar_processing_tpu.dsp.detection import DetectionResult, search_peaks
+from fmcw_radar_processing_tpu.dsp.fast_time import FastTimeOperator, range_profile
+from fmcw_radar_processing_tpu.dsp.slow_time import (
+    DopplerPeaks,
+    SlowTimeOperator,
+    doppler_peaks,
+    measurements,
+)
+
+
+class FrameChainOutputs(NamedTuple):
+    """Per-frame chain results for a recording of F frames."""
+
+    waterfall: jax.Array  # [F, K] float32 — abs-max over chirps (:265)
+    detection: DetectionResult  # idx/magnitude/valid, each [F, T]
+    doppler: DopplerPeaks  # doppler_idx/speed, each [F, T]
+    strength: jax.Array  # [T, F] float32, NaN-filled
+    range: jax.Array  # [T, F] float32, NaN-filled
+    speed: jax.Array  # [T, F] float32, NaN-filled
+    strongest_chirps: jax.Array  # [F, PN] complex64 — range FFT rows at the
+    # strongest target's bin (radar_processing.m:258-259); garbage where
+    # detected is False
+    detected: jax.Array  # [F] bool
+    range_fft: jax.Array | None  # [F, PN, K] complex64, only if requested
+
+
+def make_frame_chain(cfg: RadarConfig, return_range_fft: bool = False):
+    """Build the jitted recording chain for a fixed config.
+
+    Returns fn(raw [F, PN, NTS], calib [NTS]) -> FrameChainOutputs.
+    F is a trace-time constant (one compile per recording length bucket).
+    """
+    ft = FastTimeOperator.create(cfg)
+    st = SlowTimeOperator.create(cfg)
+
+    @jax.jit
+    def chain(raw: jax.Array, calib: jax.Array) -> FrameChainOutputs:
+        rf = ft(raw, calib)  # [F, PN, K]
+        profile = range_profile(rf)  # [F, K]
+        det = search_peaks(profile, cfg)  # [F, T]
+        rd = st(rf)  # [F, K, D]
+        dop = doppler_peaks(rd, det, cfg)
+        meas = measurements(det, dop, cfg)
+        # Chirp row at the strongest detected bin, per frame (:258-259).
+        strongest = jnp.take_along_axis(
+            rf, det.idx[:, 0][:, None, None], axis=-1
+        )[..., 0]  # [F, PN]
+        return FrameChainOutputs(
+            waterfall=profile,
+            detection=det,
+            doppler=dop,
+            strength=meas.strength,
+            range=meas.range,
+            speed=meas.speed,
+            strongest_chirps=strongest,
+            detected=det.valid[:, 0],
+            range_fft=rf if return_range_fft else None,
+        )
+
+    return chain
+
+
+@functools.partial(jax.jit, static_argnames=("pn",))
+def pack_slow_time(
+    strongest_chirps: jax.Array, detected: jax.Array, pn: int
+) -> tuple[jax.Array, jax.Array]:
+    """Concatenate chirp rows of detected frames (radar_processing.m:255-260)
+    into a fixed-capacity buffer.
+
+    Frames with no detection are skipped — the slow-time axis "skips" those
+    periods by design (:519-522). Packing is a static-shape scatter: frame i
+    with detection rank r writes its PN chirps at [r·PN, (r+1)·PN); frames
+    without detection write into a discarded spill slot past the capacity.
+
+    Returns (signal [F·PN] complex64, valid_count scalar int32).
+    """
+    f = strongest_chirps.shape[0]
+    cap = f * pn
+    order = jnp.cumsum(detected.astype(jnp.int32)) - 1  # rank among detected
+    base = jnp.where(detected, order * pn, cap)  # spill → cap
+    idx = base[:, None] + jnp.arange(pn)[None, :]  # [F, PN]
+    out = jnp.zeros(cap + pn, jnp.complex64)
+    out = out.at[idx.reshape(-1)].set(strongest_chirps.reshape(-1), mode="drop")
+    count = jnp.sum(detected.astype(jnp.int32)) * pn
+    return out[:cap], count

@@ -1,0 +1,230 @@
+"""End-to-end recording pipelines — the TPU equivalent of
+``radar_processing('no')`` and ``radar_processing('yes')``.
+
+Host/device split: the whole per-frame chain plus packing and STFT run as a
+handful of jitted stages; the host only (a) reads back the slow-time valid
+count to pick the STFT's nfft bucket — nfft is 2^nextpow2(signal length) in
+the reference (radar_processing.m:273), an inherently data-dependent shape
+that must be a compile-time constant on TPU — and (b) assembles JSON
+payloads from final arrays. Buckets are powers of two, so each recording
+shape compiles at most once per bucket and the cache stays small.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+from typing import Any
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from fmcw_radar_processing_tpu.config import RadarConfig
+from fmcw_radar_processing_tpu.config.radar import next_pow2
+from fmcw_radar_processing_tpu.dsp.stft import (
+    StftOperator,
+    log_frequency_rescale,
+    psd_db,
+    stft_frame_count,
+)
+from fmcw_radar_processing_tpu.pipeline.frame_chain import (
+    FrameChainOutputs,
+    make_frame_chain,
+    pack_slow_time,
+)
+from fmcw_radar_processing_tpu.pipeline.payloads import (
+    fft_snapshot_payload,
+    range_fft_payload,
+    range_speed_payload,
+    spectrogram_payload,
+)
+
+
+@dataclasses.dataclass
+class RecordingOutputs:
+    """Full-recording ('no') mode results (arrays host-side NumPy)."""
+
+    waterfall: np.ndarray  # (K, F)
+    target_range: np.ndarray  # (T, F) NaN-filled
+    target_speed: np.ndarray  # (T, F)
+    target_strength: np.ndarray  # (T, F)
+    detected: np.ndarray  # (F,) bool
+    spectrogram_times: np.ndarray  # (T_stft,)
+    spectrogram_freqs: np.ndarray  # (1024,) log-spaced
+    spectrogram_intensity: np.ndarray  # (1024, T_stft) dB
+    payloads: dict[str, dict]  # name -> payload dict (4 schemas)
+
+
+@dataclasses.dataclass
+class ActivityBatchOutput:
+    """One activity-mode ('yes') batch spectrogram (radar_processing.m:444-607)."""
+
+    batch: int  # 1-based batch number
+    start_frame: int  # 1-based inclusive
+    end_frame: int  # 1-based inclusive
+    payload: dict
+    filename: str
+
+
+class RadarPipeline:
+    """Compiled recording pipelines for a fixed RadarConfig."""
+
+    def __init__(self, cfg: RadarConfig, filename: str = "radar_data"):
+        self.cfg = cfg
+        self.filename = filename
+        self._chain = make_frame_chain(cfg)
+
+    # ---------------- jitted stages ----------------
+
+    @functools.lru_cache(maxsize=16)
+    def _stft_stage(self, nfft: int):
+        """Jitted STFT→dB→log-rescale stage for one nfft bucket."""
+        cfg = self.cfg
+        a = cfg.algorithm
+        op = StftOperator.create(
+            window_length=a.stft_window_length,
+            beta=a.stft_kaiser_beta,
+            nfft=nfft,
+            fs=1.0 / cfg.derived.prt,
+            hop=a.stft_hop or 1,
+        )
+
+        @jax.jit
+        def stage(signal_abs: jax.Array, valid_len: jax.Array):
+            res = op(signal_abs, valid_len=valid_len)
+            db = psd_db(res)
+            log_bins, intensity = log_frequency_rescale(
+                res.freqs, db, a.max_freq_bins
+            )
+            return res.times, log_bins, intensity, res.frame_valid
+
+        return stage, op
+
+    # ---------------- host orchestration ----------------
+
+    def run_chain(self, raw: np.ndarray, calib: np.ndarray) -> FrameChainOutputs:
+        """Run the jitted per-frame chain. raw: [F, PN, NTS]."""
+        return self._chain(jnp.asarray(raw), jnp.asarray(calib))
+
+    def _spectrogram_of_signal(self, signal: jax.Array, count: int):
+        """STFT of a packed slow-time signal (first ``count`` samples valid).
+
+        Returns (times, log_bins, intensity) as NumPy arrays trimmed to the
+        valid columns, or None if the signal is shorter than one window.
+        """
+        a = self.cfg.algorithm
+        wl = a.stft_window_length
+        if count < wl:
+            return None
+        nfft = a.stft_nfft or next_pow2(count)
+        stage, op = self._stft_stage(nfft)
+        sig_abs = jnp.abs(signal)  # reference: STFT of |slow_time| (:270)
+        times, log_bins, intensity, _ = stage(sig_abs, jnp.asarray(count))
+        n_valid = stft_frame_count(count, wl, op.hop)
+        return (
+            np.asarray(times)[:n_valid],
+            np.asarray(log_bins),
+            np.asarray(intensity)[:, :n_valid],
+        )
+
+    def process_recording(
+        self, raw: np.ndarray, calib: np.ndarray
+    ) -> RecordingOutputs:
+        """Full-recording mode — radar_processing('no') (:195-436)."""
+        cfg = self.cfg
+        out = self.run_chain(raw, calib)
+        signal, count_dev = pack_slow_time(
+            out.strongest_chirps, out.detected, cfg.pn
+        )
+        count = int(count_dev)  # the single host sync of the pipeline
+
+        spec = self._spectrogram_of_signal(signal, count)
+        if spec is None:
+            times = np.zeros(0)
+            log_bins = np.zeros(cfg.algorithm.max_freq_bins)
+            intensity = np.zeros((cfg.algorithm.max_freq_bins, 0))
+        else:
+            times, log_bins, intensity = spec
+
+        waterfall = np.asarray(out.waterfall).T  # (K, F)
+        t_range = np.asarray(out.range)
+        t_speed = np.asarray(out.speed)
+        t_strength = np.asarray(out.strength)
+
+        payloads = {
+            "spectrogram_data.json": spectrogram_payload(
+                times, log_bins, intensity
+            ),
+            f"{self.filename}_range_fft_data.json": range_fft_payload(
+                waterfall, cfg, self.filename
+            ),
+            f"{self.filename}_range_speed_data.json": range_speed_payload(
+                t_range, t_speed, cfg, self.filename
+            ),
+            f"{self.filename}_fft_data.json": fft_snapshot_payload(
+                waterfall, cfg, self.filename
+            ),
+        }
+        return RecordingOutputs(
+            waterfall=waterfall,
+            target_range=t_range,
+            target_speed=t_speed,
+            target_strength=t_strength,
+            detected=np.asarray(out.detected),
+            spectrogram_times=times,
+            spectrogram_freqs=log_bins,
+            spectrogram_intensity=intensity,
+            payloads=payloads,
+        )
+
+    def process_activity(
+        self, raw: np.ndarray, calib: np.ndarray
+    ) -> list[ActivityBatchOutput]:
+        """Animal-activity batch mode — radar_processing('yes') (:440-607).
+
+        Frames are processed in batches of ``batch_size`` (100); each batch
+        with ≥ window_length slow-time samples yields one spectrogram JSON,
+        capped at ``max_plots`` (4). The per-frame chain still runs ONCE
+        over the whole recording — only packing + STFT are per batch.
+        """
+        cfg = self.cfg
+        a = cfg.algorithm
+        out = self.run_chain(raw, calib)
+        f = raw.shape[0]
+        num_batches = -(-f // a.batch_size)
+        results: list[ActivityBatchOutput] = []
+        plot_counter = 0
+        for b in range(num_batches):
+            if plot_counter >= a.max_plots:
+                break  # :597-599
+            start = b * a.batch_size
+            end = min((b + 1) * a.batch_size, f)
+            chirps = out.strongest_chirps[start:end]
+            detected = out.detected[start:end]
+            signal, count_dev = pack_slow_time(chirps, detected, cfg.pn)
+            count = int(count_dev)
+            spec = self._spectrogram_of_signal(signal, count)
+            if spec is None:
+                continue  # :534,601-606 insufficient data — no JSON
+            plot_counter += 1
+            times, log_bins, intensity = spec
+            fname = f"{self.filename}_spectrogram_batch_{b + 1}.json"
+            results.append(
+                ActivityBatchOutput(
+                    batch=b + 1,
+                    start_frame=start + 1,
+                    end_frame=end,
+                    payload=spectrogram_payload(
+                        times,
+                        log_bins,
+                        intensity,
+                        batch=b + 1,
+                        start_frame=start + 1,
+                        end_frame=end,
+                        filename_base=self.filename,
+                    ),
+                    filename=fname,
+                )
+            )
+        return results

@@ -65,6 +65,10 @@ def make_recording(
         phase = rng.uniform(0, 2 * np.pi, (num_frames, 1, pn))
         tone = amplitude * np.exp(1j * (2 * np.pi * b * n[None, :, None] / k + phase))
         frames = frames + tone
-    calib = 0.1 * (rng.standard_normal(nts) + 1j * rng.standard_normal(nts))
+    # Realistic ADC calibration: a smooth, near-DC curve. (A random calib
+    # would itself inject a broadband above-threshold signal after the
+    # (x − calib)·IF_scale step — faithful to the chain, but useless for
+    # constructing detection-free frames in tests.)
+    calib = (0.3 + 0.05 * np.cos(2 * np.pi * np.arange(nts) / nts)) * (1.0 + 0.5j)
     return frames.astype(np.complex64), calib.astype(np.complex64)
 

@@ -1,0 +1,175 @@
+"""End-to-end pipeline vs the MATLAB-semantics oracle."""
+
+import json
+
+import numpy as np
+
+from fmcw_radar_processing_tpu.pipeline.recording import RadarPipeline
+from fmcw_radar_processing_tpu.utils.jsonio import dumps_matlab
+
+from .conftest import make_recording
+from .oracle import (
+    log_rescale_oracle,
+    process_recording_oracle,
+    psd_db_oracle,
+    spectrogram_oracle,
+)
+
+
+def _tpu_layout(frames):
+    return np.swapaxes(frames, -1, -2)
+
+
+def _mixed_recording(cfg, rng, f=24):
+    """Recording where some frames have a target and some don't."""
+    frames, calib = make_recording(cfg, num_frames=f, rng=rng,
+                                   target_bins=(55,), amplitude=4.0)
+    # Kill the target in every third frame.
+    noise = 0.003 * (rng.standard_normal(frames[::3].shape)
+                     + 1j * rng.standard_normal(frames[::3].shape))
+    frames[::3] = noise.astype(np.complex64)
+    return frames, calib
+
+
+def test_recording_outputs_match_oracle(cfg, rng):
+    frames, calib = _mixed_recording(cfg, rng)
+    pipe = RadarPipeline(cfg)
+    got = pipe.process_recording(_tpu_layout(frames), calib)
+    want = process_recording_oracle(frames, calib, cfg)
+
+    np.testing.assert_array_equal(got.detected, want.detected)
+    assert got.detected.any() and not got.detected.all()
+    np.testing.assert_allclose(got.waterfall, want.waterfall, rtol=3e-4, atol=0.05)
+    np.testing.assert_allclose(got.target_range, want.range, rtol=1e-5)
+    np.testing.assert_allclose(got.target_speed, want.speed, rtol=1e-5, atol=1e-6)
+    np.testing.assert_allclose(got.target_strength, want.strength,
+                               rtol=3e-4, atol=0.05)
+
+
+def test_slow_time_packing_matches_oracle(cfg, rng):
+    from fmcw_radar_processing_tpu.pipeline.frame_chain import pack_slow_time
+
+    frames, calib = _mixed_recording(cfg, rng)
+    pipe = RadarPipeline(cfg)
+    out = pipe.run_chain(_tpu_layout(frames), calib)
+    signal, count = pack_slow_time(out.strongest_chirps, out.detected, cfg.pn)
+    want = process_recording_oracle(frames, calib, cfg)
+    count = int(count)
+    assert count == len(want.slow_time_signal)
+    np.testing.assert_allclose(
+        np.asarray(signal)[:count], want.slow_time_signal, rtol=3e-4, atol=0.05
+    )
+
+
+def test_spectrogram_intensity_matches_oracle(cfg, rng):
+    frames, calib = _mixed_recording(cfg, rng)
+    pipe = RadarPipeline(cfg)
+    got = pipe.process_recording(_tpu_layout(frames), calib)
+    want = process_recording_oracle(frames, calib, cfg)
+
+    iq = np.abs(want.slow_time_signal)
+    fs = 1.0 / cfg.derived.prt
+    freqs, times, p = spectrogram_oracle(iq, fs)
+    db = psd_db_oracle(p)
+    log_bins, intensity = log_rescale_oracle(freqs, db)
+
+    np.testing.assert_allclose(got.spectrogram_times, times, rtol=1e-6)
+    np.testing.assert_allclose(got.spectrogram_freqs, log_bins, rtol=1e-5)
+    assert got.spectrogram_intensity.shape == intensity.shape
+    # dB compare where the oracle is above the noise floor.
+    mask = intensity > -120
+    np.testing.assert_allclose(
+        got.spectrogram_intensity[mask], intensity[mask], atol=0.05
+    )
+
+
+def test_payload_schemas(cfg, rng):
+    frames, calib = _mixed_recording(cfg, rng)
+    pipe = RadarPipeline(cfg, filename="radar_data")
+    got = pipe.process_recording(_tpu_layout(frames), calib)
+    names = set(got.payloads)
+    assert names == {
+        "spectrogram_data.json",
+        "radar_data_range_fft_data.json",
+        "radar_data_range_speed_data.json",
+        "radar_data_fft_data.json",
+    }
+    spec = json.loads(dumps_matlab(got.payloads["spectrogram_data.json"]))
+    assert set(spec) == {"time", "frequency", "intensity", "title", "xLabel", "yLabel"}
+    assert len(spec["frequency"]) == 1024
+    assert len(spec["intensity"]) == 1024  # rows = frequency bins
+
+    rf = json.loads(dumps_matlab(got.payloads["radar_data_range_fft_data.json"]))
+    assert set(rf) == {"time_axis", "array_bin_range", "range_tx1rx1_max_abs",
+                       "filename"}
+    assert len(rf["range_tx1rx1_max_abs"]) == cfg.range_fft_size
+    assert len(rf["time_axis"]) == frames.shape[0]
+    assert rf["time_axis"][1] == 0.15
+
+    rs = json.loads(dumps_matlab(got.payloads["radar_data_range_speed_data.json"]))
+    # max_num_targets = 1 ⇒ MATLAB encodes the 1×F matrix as a flat array,
+    # with NaN → null.
+    assert len(rs["range"]) == frames.shape[0]
+    undetected = np.where(~got.detected)[0]
+    assert rs["range"][int(undetected[0])] is None
+
+    fd = json.loads(dumps_matlab(got.payloads["radar_data_fft_data.json"]))
+    assert fd["frame_index"] == min(100, frames.shape[0])
+    assert len(fd["magnitude"]) == cfg.range_fft_size
+
+
+def test_activity_mode_batches(cfg, rng):
+    frames, calib = _mixed_recording(cfg, rng, f=30)
+    # Small batches so several spectrograms emerge from 30 frames.
+    import dataclasses
+
+    alg = dataclasses.replace(cfg.algorithm, batch_size=8, max_plots=2)
+    from fmcw_radar_processing_tpu.config import RadarConfig
+
+    cfg2 = RadarConfig.create(cfg.device, alg)
+    pipe = RadarPipeline(cfg2)
+    batches = pipe.process_activity(_tpu_layout(frames), calib)
+    assert 1 <= len(batches) <= 2  # capped at max_plots
+    b = batches[0]
+    assert b.batch == 1 and b.start_frame == 1 and b.end_frame == 8
+    assert b.payload["title"] == "Spectrogram - Batch 1"
+    assert b.payload["start_frame"] == 1
+    assert b.filename == "radar_data_spectrogram_batch_1.json"
+
+
+def test_activity_batch_matches_oracle_spectrogram(cfg, rng):
+    import dataclasses
+
+    from fmcw_radar_processing_tpu.config import RadarConfig
+
+    frames, calib = _mixed_recording(cfg, rng, f=16)
+    alg = dataclasses.replace(cfg.algorithm, batch_size=8)
+    cfg2 = RadarConfig.create(cfg.device, alg)
+    pipe = RadarPipeline(cfg2)
+    batches = pipe.process_activity(_tpu_layout(frames), calib)
+
+    want = process_recording_oracle(frames, calib, cfg2)
+    # Oracle batch 1: slow-time concat of detected frames 0..7.
+    chunks = [
+        want.range_fft_complete[:, :, fr][
+            int(np.nanargmax(np.where(want.detected[fr], 1.0, np.nan)))
+        ]
+        for fr in range(8)
+        if want.detected[fr]
+    ]
+    # Simpler: re-run oracle on the batch slice.
+    want_b = process_recording_oracle(frames[:8], calib, cfg2)
+    iq = np.abs(want_b.slow_time_signal)
+    if len(iq) >= 20:
+        fs = 1.0 / cfg2.derived.prt
+        freqs, times, p = spectrogram_oracle(iq, fs)
+        db = psd_db_oracle(p)
+        log_bins, intensity = log_rescale_oracle(freqs, db)
+        got = batches[0]
+        np.testing.assert_allclose(
+            np.asarray(got.payload["time"]), times, rtol=1e-6
+        )
+        mask = intensity > -120
+        np.testing.assert_allclose(
+            np.asarray(got.payload["intensity"])[mask], intensity[mask], atol=0.05
+        )
