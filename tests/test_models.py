@@ -1,0 +1,117 @@
+"""Classifier: model shapes, augmentation, training convergence, checkpointing."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from fmcw_radar_processing_tpu.models.data import augment_batch, split_dataset
+from fmcw_radar_processing_tpu.models.train import TrainConfig, Trainer
+from fmcw_radar_processing_tpu.models.vgg import VGG16, SmallCNN
+from fmcw_radar_processing_tpu.parallel.mesh import make_mesh
+
+
+def _toy_dataset(rng, n=64, size=32):
+    """Separable binary 'spectrograms': class 1 has a bright band."""
+    x = rng.uniform(0, 0.3, (n, size, size, 3)).astype(np.float32)
+    y = (np.arange(n) % 2).astype(np.float32)
+    x[y == 1, size // 4 : size // 2, :, :] += 0.6
+    return x, y
+
+
+def test_split_dataset_fractions():
+    items = [f"img{i}.png" for i in range(100)]
+    train, val, test = split_dataset(items)
+    assert len(train) == 70 and len(val) == 15 and len(test) == 15
+    assert set(train) | set(val) | set(test) == set(items)
+    # Deterministic for a fixed seed.
+    train2, _, _ = split_dataset(items)
+    assert train == train2
+
+
+def test_vgg16_forward_shape():
+    model = VGG16()
+    x = jnp.zeros((2, 224, 224, 3))
+    params = model.init(jax.random.PRNGKey(0), x, train=False)["params"]
+    logits = model.apply({"params": params}, x, train=False)
+    assert logits.shape == (2,)
+    # Backbone has the 13 VGG16 conv layers.
+    convs = [k for k in params["backbone"] if "conv" in k]
+    assert len(convs) == 13
+
+
+def test_augment_preserves_shape_and_range(rng):
+    x = jnp.asarray(rng.uniform(0, 1, (4, 32, 32, 3)).astype(np.float32))
+    out = augment_batch(jax.random.PRNGKey(1), x)
+    assert out.shape == x.shape
+    assert float(out.min()) >= -1e-5 and float(out.max()) <= 1.0 + 1e-5
+    # Augmentation is random: two keys give different outputs.
+    out2 = augment_batch(jax.random.PRNGKey(2), x)
+    assert float(jnp.abs(out - out2).max()) > 1e-3
+
+
+def test_training_learns_separable_data(rng):
+    x, y = _toy_dataset(rng)
+    trainer = Trainer(
+        SmallCNN(),
+        TrainConfig(learning_rate=1e-3, epochs=5, batch_size=16, augment=False),
+        input_shape=x.shape[1:],
+    )
+    trainer.fit(x, y)
+    loss, acc, _ = trainer.evaluate(x, y)
+    assert acc >= 0.9, f"failed to fit separable data: acc={acc}"
+    cm = trainer.confusion_matrix(x, y)
+    assert cm.sum() == len(x)
+    assert cm[0, 0] + cm[1, 1] >= 0.9 * len(x)
+
+
+def test_frozen_backbone_params_do_not_move():
+    model = VGG16()
+    x = np.zeros((4, 32, 32, 3), np.float32)
+    y = np.array([0, 1, 0, 1], np.float32)
+    trainer = Trainer(
+        model,
+        TrainConfig(freeze_backbone=True, epochs=1, batch_size=4, augment=False),
+        input_shape=x.shape[1:],
+    )
+    before = jax.tree_util.tree_map(
+        np.asarray, trainer.state.params["backbone"]
+    )
+    trainer.fit(x, y)
+    after = trainer.state.params["backbone"]
+    flat_b = jax.tree_util.tree_leaves(before)
+    flat_a = jax.tree_util.tree_leaves(after)
+    for b, a in zip(flat_b, flat_a):
+        np.testing.assert_array_equal(b, np.asarray(a))
+    # Head params must move.
+    hb = jax.tree_util.tree_leaves(trainer.state.params["head"])
+    assert any(np.abs(np.asarray(p)).sum() > 0 for p in hb)
+
+
+def test_dp_sharded_train_step(rng):
+    mesh = make_mesh()
+    x, y = _toy_dataset(rng, n=16, size=16)
+    trainer = Trainer(
+        SmallCNN(),
+        TrainConfig(epochs=1, batch_size=16, augment=False),
+        mesh=mesh,
+        input_shape=x.shape[1:],
+    )
+    trainer.fit(x, y)
+    assert len(trainer.history) == 1
+    assert np.isfinite(trainer.history[0]["loss"])
+
+
+def test_checkpoint_roundtrip(tmp_path, rng):
+    x, y = _toy_dataset(rng, n=8, size=16)
+    t1 = Trainer(SmallCNN(), TrainConfig(epochs=1, batch_size=8, augment=False),
+                 input_shape=x.shape[1:])
+    t1.fit(x, y)
+    path = str(tmp_path / "ckpt")
+    t1.save(path)
+    t2 = Trainer(SmallCNN(), TrainConfig(epochs=1, batch_size=8, augment=False),
+                 input_shape=x.shape[1:])
+    t2.load(path)
+    l1, a1, p1 = t1.evaluate(x, y)
+    l2, a2, p2 = t2.evaluate(x, y)
+    np.testing.assert_allclose(p1, p2, rtol=1e-6)
