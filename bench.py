@@ -1,0 +1,153 @@
+"""Benchmark: IQ frames/sec/chip on the full radar chain.
+
+Measures the end-to-end per-recording pipeline (fast-time range FFT →
+detection → Doppler FFT → measurements → slow-time packing → STFT PSD →
+log-frequency rescale) on the available accelerator, and compares against
+the reference-semantics serial NumPy oracle on CPU (the stand-in for the
+reference's MATLAB loop — the reference publishes no throughput numbers,
+BASELINE.md).
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+"""
+
+from __future__ import annotations
+
+import json
+import sys
+import time
+
+
+def bench_tpu(cfg, raw, calib, iters: int = 5) -> float:
+    import jax
+    import jax.numpy as jnp
+
+    from fmcw_radar_processing_tpu.dsp.stft import (
+        StftOperator,
+        log_frequency_rescale,
+        psd_db,
+    )
+    from fmcw_radar_processing_tpu.pipeline.frame_chain import (
+        make_frame_chain,
+        pack_slow_time,
+    )
+    from fmcw_radar_processing_tpu.utils.cplx import pair_abs
+
+    f = raw.shape[0]
+    chain = make_frame_chain(cfg)
+    op = StftOperator.create(
+        window_length=cfg.algorithm.stft_window_length,
+        beta=cfg.algorithm.stft_kaiser_beta,
+        nfft=cfg.algorithm.stft_nfft,
+        fs=1.0 / cfg.derived.prt,
+        hop=cfg.algorithm.stft_hop or 1,
+    )
+
+    @jax.jit
+    def full(raw_d, calib_d):
+        out = chain(raw_d, calib_d)
+        sig, count = pack_slow_time(out.strongest_chirps, out.detected, cfg.pn)
+        res = op(pair_abs(sig), valid_len=count)
+        db = psd_db(res)
+        _, intensity = log_frequency_rescale(res.freqs, db,
+                                             cfg.algorithm.max_freq_bins)
+        # Scalar fingerprint of every output: forces full evaluation while
+        # keeping the host transfer to 4 bytes. (On tunneled TPU runtimes
+        # block_until_ready can return before remote execution finishes and
+        # bulk D2H bandwidth is not part of the kernel-time metric.)
+        fin = jnp.where(jnp.isfinite(intensity), intensity, 0.0)
+        return (
+            jnp.sum(out.waterfall)
+            + jnp.sum(jnp.where(jnp.isfinite(out.range), out.range, 0.0))
+            + jnp.sum(jnp.where(jnp.isfinite(out.speed), out.speed, 0.0))
+            + jnp.sum(fin)
+        )
+
+    raw_d = jnp.asarray(raw)
+    calib_d = jnp.asarray(calib)
+    float(full(raw_d, calib_d))  # warmup/compile
+    times = []
+    for _ in range(iters):
+        t0 = time.perf_counter()
+        float(full(raw_d, calib_d))  # scalar D2H = sync point
+        times.append(time.perf_counter() - t0)
+    return f / min(times)
+
+
+def bench_cpu_oracle(cfg, raw_matlab, calib, nfft: int) -> float:
+    """Serial reference-semantics chain on CPU (frames/sec)."""
+    from tests.oracle import (
+        log_rescale_oracle,
+        process_recording_oracle,
+        psd_db_oracle,
+        spectrogram_oracle,
+    )
+
+    f = raw_matlab.shape[0]
+    t0 = time.perf_counter()
+    res = process_recording_oracle(raw_matlab, calib, cfg)
+    iq = abs(res.slow_time_signal)
+    if len(iq) >= cfg.algorithm.stft_window_length:
+        freqs, times, p = spectrogram_oracle(
+            iq, 1.0 / cfg.derived.prt, nfft=nfft
+        )
+        db = psd_db_oracle(p)
+        log_rescale_oracle(freqs, db)
+    dt = time.perf_counter() - t0
+    return f / dt
+
+
+def main():
+    import dataclasses
+
+    import numpy as np
+
+    from fmcw_radar_processing_tpu.config import (
+        AlgorithmConfig,
+        RadarConfig,
+        default_device_config,
+    )
+    from fmcw_radar_processing_tpu.io.synth import (
+        SyntheticTarget,
+        synthesize_recording,
+    )
+
+    nfft = 256
+    alg = AlgorithmConfig(stft_nfft=nfft)  # production STFT size; hop 1
+    cfg = RadarConfig.create(default_device_config(), alg)
+
+    frames_tpu = 16384
+    rec = synthesize_recording(
+        cfg,
+        frames_tpu,
+        (
+            SyntheticTarget(range_m=7.5, doppler_bin_offset=3,
+                            md_phase_rad=1.0, md_rate_hz=40.0),
+            SyntheticTarget(range_m=16.9, doppler_bin_offset=-2, amplitude=2.5),
+        ),
+        seed=0,
+    )
+    raw = rec.rx1_pair()  # [F, PN, NTS, 2]
+    calib = rec.calib_pair(0, cfg.nts)
+
+    fps_tpu = bench_tpu(cfg, raw, calib)
+
+    # CPU oracle on a subset, extrapolated linearly (the oracle is a serial
+    # per-frame loop; its cost is linear in frames).
+    f_cpu = 256
+    raw_matlab = np.swapaxes(rec.rx1()[:f_cpu], -1, -2)  # (F, NTS, PN)
+    fps_cpu = bench_cpu_oracle(cfg, raw_matlab, rec.calib_vector(0, cfg.nts), nfft)
+
+    print(
+        json.dumps(
+            {
+                "metric": "IQ frames/sec/chip (range-FFT+Doppler+STFT chain)",
+                "value": round(fps_tpu, 1),
+                "unit": "frames/s",
+                "vs_baseline": round(fps_tpu / fps_cpu, 2),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    sys.exit(main())

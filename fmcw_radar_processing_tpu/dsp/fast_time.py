@@ -17,11 +17,13 @@ one K×NTS complex matrix applied to every chirp of every frame. On TPU this
 is the idiomatic formulation: a zero-padded 256-point FFT of a 64-sample
 chirp *is* a 256×64 matrix multiply, and batching it over
 (frames · chirps) columns turns the reference's serial per-frame loop
-(radar_processing.m:197) into one large MXU matmul with perfect weight reuse
-— no FFT butterflies, no scalar loops, no per-frame dispatch.
+(radar_processing.m:197) into one large MXU matmul with perfect weight
+reuse — no FFT butterflies, no scalar loops, no per-frame dispatch.
 
-The operator matrix is built once per configuration on the host in float64
-and becomes a compile-time constant under jit.
+Complex values use the pair convention (utils/cplx.py — trailing [re, im]
+axis): the graph contains only real float32 ops. The operator matrix is
+built once per configuration on the host in float64 and becomes a
+compile-time constant under jit.
 """
 
 from __future__ import annotations
@@ -34,6 +36,7 @@ import numpy as np
 
 from fmcw_radar_processing_tpu.config import RadarConfig
 from fmcw_radar_processing_tpu.dsp.windows import blackman
+from fmcw_radar_processing_tpu.utils.cplx import pair_abs, pair_matmul
 
 
 def dft_matrix(k: int, n: int) -> np.ndarray:
@@ -57,35 +60,41 @@ def build_fast_time_matrix(cfg: RadarConfig) -> np.ndarray:
 class FastTimeOperator:
     """Precomputed fused fast-time operator for a fixed RadarConfig.
 
-    ``matrix``: (K, NTS) complex64 — the fused chain operator M.
-    ``offset(calib)``: (K,) complex64 — M @ calib (the affine part).
-
-    Call with raw chirps laid out as [..., PN, NTS] (chirps along the
-    second-to-last axis, ADC samples last — the TPU-friendly layout, with
-    the contraction axis innermost). Returns range FFT [..., PN, K].
+    Matrices are host NumPy — trace-time constants baked into the HLO.
+    Call with raw chirps laid out as [..., PN, NTS, 2] (chirps along the
+    third-to-last axis, ADC samples next, [re, im] pair last — contraction
+    axis innermost of the data axes). Returns range FFT [..., PN, K, 2].
     """
 
-    matrix: jax.Array  # (K, NTS) complex64
+    m_re: np.ndarray  # (K, NTS) float32
+    m_im: np.ndarray  # (K, NTS) float32
 
     @classmethod
     def create(cls, cfg: RadarConfig) -> "FastTimeOperator":
-        return cls(matrix=jnp.asarray(build_fast_time_matrix(cfg), jnp.complex64))
+        m = build_fast_time_matrix(cfg)
+        return cls(m_re=m.real.astype(np.float32), m_im=m.imag.astype(np.float32))
 
     def offset(self, calib: jax.Array) -> jax.Array:
-        """M @ calib — precompute once per recording (calib is per-device)."""
-        return self.matrix @ calib.astype(jnp.complex64)
+        """M @ calib (the affine part). calib: [NTS, 2] pair → [K, 2]."""
+        return pair_matmul(
+            calib, jnp.asarray(self.m_re), jnp.asarray(self.m_im), "n,kn->k"
+        )
 
     def __call__(self, raw: jax.Array, calib: jax.Array) -> jax.Array:
         """Apply the fused chain.
 
-        raw:   [..., PN, NTS] real or complex ADC samples (rx1 of tx1,
+        raw:   [..., PN, NTS, 2] float32 ADC sample pairs (rx1 of tx1,
                matching matrix_raw_data(:,:,1) at radar_processing.m:202).
-        calib: [NTS] complex calibration vector (radar_processing.m:174).
-        returns range_fft [..., PN, K] complex64.
+        calib: [NTS, 2] calibration pair (radar_processing.m:174).
+        returns range_fft [..., PN, K, 2] float32.
         """
-        x = raw.astype(jnp.complex64)
-        y = jnp.einsum("...pn,kn->...pk", x, self.matrix)
-        return y - self.offset(calib)
+        y = pair_matmul(
+            raw.astype(jnp.float32),
+            jnp.asarray(self.m_re),
+            jnp.asarray(self.m_im),
+            "...pn,kn->...pk",
+        )
+        return y - self.offset(calib.astype(jnp.float32))
 
 
 def range_profile(range_fft: jax.Array) -> jax.Array:
@@ -95,6 +104,6 @@ def range_profile(range_fft: jax.Array) -> jax.Array:
     the chirp whose FFT value has the largest magnitude, then takes its
     magnitude — which equals the max of magnitudes.
 
-    range_fft: [..., PN, K] → profile [..., K] float32.
+    range_fft: [..., PN, K, 2] → profile [..., K] float32.
     """
-    return jnp.max(jnp.abs(range_fft), axis=-2)
+    return jnp.max(pair_abs(range_fft), axis=-2)

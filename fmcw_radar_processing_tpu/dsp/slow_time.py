@@ -36,6 +36,7 @@ import numpy as np
 from fmcw_radar_processing_tpu.config import RadarConfig
 from fmcw_radar_processing_tpu.dsp.detection import DetectionResult
 from fmcw_radar_processing_tpu.dsp.windows import chebwin
+from fmcw_radar_processing_tpu.utils.cplx import pair_abs, pair_matmul
 
 
 def build_slow_time_matrix(cfg: RadarConfig) -> np.ndarray:
@@ -62,17 +63,24 @@ def build_slow_time_matrix(cfg: RadarConfig) -> np.ndarray:
 
 @dataclasses.dataclass(frozen=True)
 class SlowTimeOperator:
-    """Fused Doppler operator: range_fft [..., PN, K] → RD map [..., K, D]."""
+    """Fused Doppler operator: range_fft [..., PN, K, 2] → RD map
+    [..., K, D, 2] (pair convention, utils/cplx.py)."""
 
-    matrix: jax.Array  # (D, PN) complex64
+    m_re: np.ndarray  # (D, PN) float32 — host constant (see fast_time)
+    m_im: np.ndarray  # (D, PN) float32
 
     @classmethod
     def create(cls, cfg: RadarConfig) -> "SlowTimeOperator":
-        return cls(matrix=jnp.asarray(build_slow_time_matrix(cfg), jnp.complex64))
+        m = build_slow_time_matrix(cfg)
+        return cls(m_re=m.real.astype(np.float32), m_im=m.imag.astype(np.float32))
 
     def __call__(self, range_fft: jax.Array) -> jax.Array:
-        return jnp.einsum("...pk,dp->...kd", range_fft.astype(jnp.complex64),
-                          self.matrix)
+        return pair_matmul(
+            range_fft.astype(jnp.float32),
+            jnp.asarray(self.m_re),
+            jnp.asarray(self.m_im),
+            "...pk,dp->...kd",
+        )
 
 
 class DopplerPeaks(NamedTuple):
@@ -85,12 +93,12 @@ def doppler_peaks(
 ) -> DopplerPeaks:
     """Extract per-target Doppler bin + speed from the range-Doppler map.
 
-    rd_map: [..., K, D]; detection.idx: [..., T].
+    rd_map: [..., K, D, 2] pair; detection.idx: [..., T].
     """
     zero_bin = cfg.zero_doppler_bin
     # Gather the Doppler rows of the detected range bins: [..., T, D].
     rows = jnp.take_along_axis(
-        jnp.abs(rd_map), detection.idx[..., None], axis=-2
+        pair_abs(rd_map), detection.idx[..., None], axis=-2
     )
     dop_idx = jnp.argmax(rows, axis=-1).astype(jnp.int32)
     val = jnp.max(rows, axis=-1)

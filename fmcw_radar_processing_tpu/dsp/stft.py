@@ -60,8 +60,8 @@ def stft_frame_count(length: int, window_length: int, hop: int) -> int:
 class StftOperator:
     """Precomputed framed-matmul STFT for fixed (window, nfft, fs, hop)."""
 
-    a_re: jax.Array  # (nb, W) float32
-    a_im: jax.Array  # (nb, W) float32
+    a_re: np.ndarray  # (nb, W) float32 — host constant (see fast_time)
+    a_im: np.ndarray  # (nb, W) float32
     window_length: int
     nfft: int
     hop: int
@@ -79,8 +79,8 @@ class StftOperator:
         nn = np.arange(window_length)[None, :]
         a = np.exp(-2j * np.pi * kk * nn / nfft) * w[None, :]
         return cls(
-            a_re=jnp.asarray(a.real, jnp.float32),
-            a_im=jnp.asarray(a.imag, jnp.float32),
+            a_re=a.real.astype(np.float32),
+            a_im=a.imag.astype(np.float32),
             window_length=window_length,
             nfft=nfft,
             hop=hop,
@@ -116,8 +116,8 @@ class StftOperator:
           columns extending past it are masked out (fixed-capacity idiom).
         """
         frames = self.frame_signal(x.astype(jnp.float32))  # [..., W, T]
-        s_re = jnp.einsum("bw,...wt->...bt", self.a_re, frames)
-        s_im = jnp.einsum("bw,...wt->...bt", self.a_im, frames)
+        s_re = jnp.einsum("bw,...wt->...bt", jnp.asarray(self.a_re), frames)
+        s_im = jnp.einsum("bw,...wt->...bt", jnp.asarray(self.a_im), frames)
         p = (s_re * s_re + s_im * s_im) * jnp.float32(self.scale)
         # One-sided doubling: every bin except DC and (even nfft) Nyquist.
         nb = self.num_bins

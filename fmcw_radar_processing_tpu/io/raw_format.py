@@ -74,6 +74,18 @@ class RawRecording:
         (matrix_raw_data(:,:,1), radar_processing.m:202)."""
         return self.frames[:, 0]
 
+    def rx1_pair(self) -> np.ndarray:
+        """rx1 frames in the TPU pair layout [F, PN, NTS, 2] float32."""
+        from fmcw_radar_processing_tpu.utils.cplx import to_pair
+
+        return to_pair(self.rx1())
+
+    def calib_pair(self, rx: int, nts: int) -> np.ndarray:
+        """Decimated calibration vector as a [NTS, 2] float32 pair."""
+        from fmcw_radar_processing_tpu.utils.cplx import to_pair
+
+        return to_pair(self.calib_vector(rx, nts))
+
 
 def write_raw_bin(path: str, rec: RawRecording) -> None:
     frames = rec.frames

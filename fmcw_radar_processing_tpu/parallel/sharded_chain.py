@@ -22,14 +22,13 @@ from fmcw_radar_processing_tpu.pipeline.frame_chain import make_frame_chain
 def make_sharded_frame_chain(cfg: RadarConfig, mesh: Mesh):
     """Jitted chain with frames sharded over the ``data`` axis.
 
-    Returns fn(raw [F, PN, NTS], calib [NTS]) -> FrameChainOutputs with all
-    per-frame outputs sharded over frames. F must divide by the data-axis
-    size (pad recordings to a multiple; the pipeline's bucketing already
-    rounds recording lengths).
+    Returns fn(raw [F, PN, NTS, 2], calib [NTS, 2]) -> FrameChainOutputs
+    with all per-frame outputs sharded over frames. F must divide by the
+    data-axis size (pad recordings to a multiple; the pipeline's bucketing
+    already rounds recording lengths).
     """
     chain = make_frame_chain(cfg)
-    frame_sharded = NamedSharding(mesh, P(DATA_AXIS))
-    raw_sharding = NamedSharding(mesh, P(DATA_AXIS, None, None))
+    raw_sharding = NamedSharding(mesh, P(DATA_AXIS, None, None, None))
     replicated = NamedSharding(mesh, P())
 
     def sharded(raw, calib):

@@ -40,17 +40,17 @@ class FrameChainOutputs(NamedTuple):
     strength: jax.Array  # [T, F] float32, NaN-filled
     range: jax.Array  # [T, F] float32, NaN-filled
     speed: jax.Array  # [T, F] float32, NaN-filled
-    strongest_chirps: jax.Array  # [F, PN] complex64 — range FFT rows at the
-    # strongest target's bin (radar_processing.m:258-259); garbage where
-    # detected is False
+    strongest_chirps: jax.Array  # [F, PN, 2] float32 pair — range FFT rows
+    # at the strongest target's bin (radar_processing.m:258-259); garbage
+    # where detected is False
     detected: jax.Array  # [F] bool
-    range_fft: jax.Array | None  # [F, PN, K] complex64, only if requested
+    range_fft: jax.Array | None  # [F, PN, K, 2] float32 pair, if requested
 
 
 def make_frame_chain(cfg: RadarConfig, return_range_fft: bool = False):
     """Build the jitted recording chain for a fixed config.
 
-    Returns fn(raw [F, PN, NTS], calib [NTS]) -> FrameChainOutputs.
+    Returns fn(raw [F, PN, NTS, 2], calib [NTS, 2]) -> FrameChainOutputs.
     F is a trace-time constant (one compile per recording length bucket).
     """
     ft = FastTimeOperator.create(cfg)
@@ -58,16 +58,16 @@ def make_frame_chain(cfg: RadarConfig, return_range_fft: bool = False):
 
     @jax.jit
     def chain(raw: jax.Array, calib: jax.Array) -> FrameChainOutputs:
-        rf = ft(raw, calib)  # [F, PN, K]
+        rf = ft(raw, calib)  # [F, PN, K, 2]
         profile = range_profile(rf)  # [F, K]
         det = search_peaks(profile, cfg)  # [F, T]
-        rd = st(rf)  # [F, K, D]
+        rd = st(rf)  # [F, K, D, 2]
         dop = doppler_peaks(rd, det, cfg)
         meas = measurements(det, dop, cfg)
         # Chirp row at the strongest detected bin, per frame (:258-259).
         strongest = jnp.take_along_axis(
-            rf, det.idx[:, 0][:, None, None], axis=-1
-        )[..., 0]  # [F, PN]
+            rf, det.idx[:, 0][:, None, None, None], axis=-2
+        )[..., 0, :]  # [F, PN, 2]
         return FrameChainOutputs(
             waterfall=profile,
             detection=det,
@@ -95,14 +95,16 @@ def pack_slow_time(
     with detection rank r writes its PN chirps at [r·PN, (r+1)·PN); frames
     without detection write into a discarded spill slot past the capacity.
 
-    Returns (signal [F·PN] complex64, valid_count scalar int32).
+    Returns (signal [F·PN, 2] float32 pair, valid_count scalar int32).
     """
     f = strongest_chirps.shape[0]
     cap = f * pn
     order = jnp.cumsum(detected.astype(jnp.int32)) - 1  # rank among detected
     base = jnp.where(detected, order * pn, cap)  # spill → cap
     idx = base[:, None] + jnp.arange(pn)[None, :]  # [F, PN]
-    out = jnp.zeros(cap + pn, jnp.complex64)
-    out = out.at[idx.reshape(-1)].set(strongest_chirps.reshape(-1), mode="drop")
+    out = jnp.zeros((cap + pn, 2), jnp.float32)
+    out = out.at[idx.reshape(-1)].set(
+        strongest_chirps.reshape(-1, 2), mode="drop"
+    )
     count = jnp.sum(detected.astype(jnp.int32)) * pn
     return out[:cap], count

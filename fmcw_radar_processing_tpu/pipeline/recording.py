@@ -39,6 +39,7 @@ from fmcw_radar_processing_tpu.pipeline.payloads import (
     range_speed_payload,
     spectrogram_payload,
 )
+from fmcw_radar_processing_tpu.utils.cplx import pair_abs, to_pair
 
 
 @dataclasses.dataclass
@@ -104,7 +105,15 @@ class RadarPipeline:
     # ---------------- host orchestration ----------------
 
     def run_chain(self, raw: np.ndarray, calib: np.ndarray) -> FrameChainOutputs:
-        """Run the jitted per-frame chain. raw: [F, PN, NTS]."""
+        """Run the jitted per-frame chain.
+
+        raw: [F, PN, NTS] complex (converted to the pair layout on host) or
+        already-pair [F, PN, NTS, 2] float32; calib likewise [NTS]/[NTS, 2].
+        """
+        if np.iscomplexobj(raw) or raw.ndim == 3:
+            raw = to_pair(np.asarray(raw))
+        if np.iscomplexobj(calib) or calib.ndim == 1:
+            calib = to_pair(np.asarray(calib))
         return self._chain(jnp.asarray(raw), jnp.asarray(calib))
 
     def _spectrogram_of_signal(self, signal: jax.Array, count: int):
@@ -119,7 +128,7 @@ class RadarPipeline:
             return None
         nfft = a.stft_nfft or next_pow2(count)
         stage, op = self._stft_stage(nfft)
-        sig_abs = jnp.abs(signal)  # reference: STFT of |slow_time| (:270)
+        sig_abs = pair_abs(signal)  # reference: STFT of |slow_time| (:270)
         times, log_bins, intensity, _ = stage(sig_abs, jnp.asarray(count))
         n_valid = stft_frame_count(count, wl, op.hop)
         return (

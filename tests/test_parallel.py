@@ -10,6 +10,8 @@ from fmcw_radar_processing_tpu.parallel.sharded_chain import make_sharded_frame_
 from fmcw_radar_processing_tpu.parallel.sharded_stft import ShardedStft
 from fmcw_radar_processing_tpu.pipeline.frame_chain import make_frame_chain
 
+from fmcw_radar_processing_tpu.utils.cplx import to_pair
+
 from .conftest import make_recording
 
 
@@ -20,7 +22,8 @@ def test_mesh_has_eight_devices():
 
 def test_sharded_chain_matches_unsharded(cfg, rng):
     frames, calib = make_recording(cfg, num_frames=16, rng=rng)
-    raw = np.swapaxes(frames, -1, -2)
+    raw = to_pair(np.swapaxes(frames, -1, -2))
+    calib = to_pair(calib)
     mesh = make_mesh()
     sharded = make_sharded_frame_chain(cfg, mesh)
     plain = make_frame_chain(cfg)

@@ -56,8 +56,9 @@ def test_slow_time_packing_matches_oracle(cfg, rng):
     want = process_recording_oracle(frames, calib, cfg)
     count = int(count)
     assert count == len(want.slow_time_signal)
+    from fmcw_radar_processing_tpu.utils.cplx import from_pair
     np.testing.assert_allclose(
-        np.asarray(signal)[:count], want.slow_time_signal, rtol=3e-4, atol=0.05
+        from_pair(signal)[:count], want.slow_time_signal, rtol=3e-4, atol=0.05
     )
 
 
@@ -148,16 +149,7 @@ def test_activity_batch_matches_oracle_spectrogram(cfg, rng):
     pipe = RadarPipeline(cfg2)
     batches = pipe.process_activity(_tpu_layout(frames), calib)
 
-    want = process_recording_oracle(frames, calib, cfg2)
-    # Oracle batch 1: slow-time concat of detected frames 0..7.
-    chunks = [
-        want.range_fft_complete[:, :, fr][
-            int(np.nanargmax(np.where(want.detected[fr], 1.0, np.nan)))
-        ]
-        for fr in range(8)
-        if want.detected[fr]
-    ]
-    # Simpler: re-run oracle on the batch slice.
+    # Oracle for batch 1 == oracle of the first 8 frames.
     want_b = process_recording_oracle(frames[:8], calib, cfg2)
     iq = np.abs(want_b.slow_time_signal)
     if len(iq) >= 20:

@@ -10,6 +10,7 @@ from fmcw_radar_processing_tpu.dsp.slow_time import (
     doppler_peaks,
     measurements,
 )
+from fmcw_radar_processing_tpu.utils.cplx import from_pair, to_pair
 
 from .conftest import make_recording
 from .oracle import (
@@ -44,8 +45,9 @@ def test_full_map_matches_oracle_at_detected_bins(cfg, rng):
     frames, calib = make_recording(cfg, num_frames=4, rng=rng)
     ft = FastTimeOperator.create(cfg)
     st = SlowTimeOperator.create(cfg)
-    rf = ft(jnp.asarray(np.swapaxes(frames, -1, -2)), jnp.asarray(calib))
-    rd = np.asarray(st(rf))  # (F, K, D)
+    rf = ft(jnp.asarray(to_pair(np.swapaxes(frames, -1, -2))),
+            jnp.asarray(to_pair(calib)))
+    rd = from_pair(st(rf))  # (F, K, D)
     for fr in range(frames.shape[0]):
         orf = fast_time_oracle(frames[fr], calib, cfg)
         oidx, _ = search_peak_oracle(integrate_profile_oracle(orf), cfg)
@@ -59,7 +61,8 @@ def test_doppler_peak_and_speed_match_oracle(cfg, rng):
     frames, calib = _moving_target_frames(cfg, rng, doppler_bin_offset=3)
     ft = FastTimeOperator.create(cfg)
     st = SlowTimeOperator.create(cfg)
-    rf = ft(jnp.asarray(np.swapaxes(frames, -1, -2)), jnp.asarray(calib))
+    rf = ft(jnp.asarray(to_pair(np.swapaxes(frames, -1, -2))),
+            jnp.asarray(to_pair(calib)))
     det = search_peaks(range_profile(rf), cfg)
     rd = st(rf)
     pk = doppler_peaks(rd, det, cfg)
@@ -85,7 +88,8 @@ def test_zero_doppler_rejection(cfg, rng):
                                           noise_amp=1e-5)
     ft = FastTimeOperator.create(cfg)
     st = SlowTimeOperator.create(cfg)
-    rf = ft(jnp.asarray(np.swapaxes(frames, -1, -2)), jnp.asarray(calib))
+    rf = ft(jnp.asarray(to_pair(np.swapaxes(frames, -1, -2))),
+            jnp.asarray(to_pair(calib)))
     det = search_peaks(range_profile(rf), cfg)
     pk = doppler_peaks(st(rf), det, cfg)
     assert int(np.asarray(pk.doppler_idx)[0, 0]) == cfg.zero_doppler_bin
@@ -100,7 +104,8 @@ def test_measurements_nan_for_missing(cfg, rng):
     calib = np.zeros(nts, np.complex64)
     ft = FastTimeOperator.create(cfg)
     st = SlowTimeOperator.create(cfg)
-    rf = ft(jnp.asarray(np.swapaxes(frames, -1, -2)), jnp.asarray(calib))
+    rf = ft(jnp.asarray(to_pair(np.swapaxes(frames, -1, -2))),
+            jnp.asarray(to_pair(calib)))
     det = search_peaks(range_profile(rf), cfg)
     pk = doppler_peaks(st(rf), det, cfg)
     m = measurements(det, pk, cfg)
