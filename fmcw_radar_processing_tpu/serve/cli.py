@@ -1,0 +1,177 @@
+"""Command-line interface for local runs, synthesis, serving and training.
+
+    python -m fmcw_radar_processing_tpu.serve.cli process <base> [--activity]
+    python -m fmcw_radar_processing_tpu.serve.cli synth <base> --frames N
+    python -m fmcw_radar_processing_tpu.serve.cli serve-once [--activity] ...
+    python -m fmcw_radar_processing_tpu.serve.cli train --data-dir DIR ...
+    python -m fmcw_radar_processing_tpu.serve.cli config <base>.xml
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+
+
+def cmd_process(args) -> int:
+    from fmcw_radar_processing_tpu.config import RadarConfig
+    from fmcw_radar_processing_tpu.io.raw_format import read_recording
+    from fmcw_radar_processing_tpu.pipeline.recording import RadarPipeline
+    from fmcw_radar_processing_tpu.pipeline.spectrogram_image import (
+        render_spectrogram_png,
+    )
+    from fmcw_radar_processing_tpu.utils.jsonio import write_json
+    import os
+
+    rec = read_recording(args.base)
+    cfg = RadarConfig.create(rec.device)
+    name = os.path.basename(args.base)
+    pipe = RadarPipeline(cfg, filename=name)
+    raw, calib = rec.rx1_pair(), rec.calib_pair(0, cfg.nts)
+    outdir = args.output_dir or "."
+    os.makedirs(outdir, exist_ok=True)
+    if args.activity:
+        batches = pipe.process_activity(raw, calib)
+        for b in batches:
+            write_json(os.path.join(outdir, b.filename), b.payload)
+            print(f"wrote {b.filename}")
+    else:
+        out = pipe.process_recording(raw, calib)
+        for fname, payload in out.payloads.items():
+            write_json(os.path.join(outdir, fname), payload)
+            print(f"wrote {fname}")
+        png = os.path.join(outdir, "spectrogram.png")
+        render_spectrogram_png(
+            png, out.spectrogram_times, out.spectrogram_freqs,
+            out.spectrogram_intensity,
+        )
+        print(f"wrote {png}")
+    return 0
+
+
+def cmd_synth(args) -> int:
+    from fmcw_radar_processing_tpu.config import RadarConfig, default_device_config
+    from fmcw_radar_processing_tpu.io.raw_format import write_recording
+    from fmcw_radar_processing_tpu.io.synth import (
+        SyntheticTarget,
+        synthesize_recording,
+    )
+
+    cfg = RadarConfig.create(default_device_config())
+    targets = []
+    for spec in args.target or ["7.5:3", "16.9:-2"]:
+        parts = spec.split(":")
+        targets.append(
+            SyntheticTarget(
+                range_m=float(parts[0]),
+                doppler_bin_offset=int(parts[1]) if len(parts) > 1 else 0,
+                amplitude=float(parts[2]) if len(parts) > 2 else 4.0,
+            )
+        )
+    rec = synthesize_recording(cfg, args.frames, tuple(targets), seed=args.seed)
+    xml, bin_ = write_recording(args.base, rec)
+    print(f"wrote {xml} and {bin_} ({args.frames} frames)")
+    return 0
+
+
+def cmd_serve_once(args) -> int:
+    from fmcw_radar_processing_tpu.serve.handler import HandlerConfig, main
+
+    cfg = HandlerConfig(
+        fdata=args.fdata,
+        workdir=args.workdir,
+        storage_spec=args.storage,
+        upload=not args.no_upload,
+    )
+    request = {"processAnimalActivity": "yes" if args.activity else "no"}
+    result = main(request, cfg)
+    print(json.dumps(result, indent=2))
+    return 0 if result["status"] == "success" else 1
+
+
+def cmd_train(args) -> int:
+    from fmcw_radar_processing_tpu.models.data import load_image_folder
+    from fmcw_radar_processing_tpu.models.train import TrainConfig, Trainer
+    from fmcw_radar_processing_tpu.models.vgg import VGG16, SmallCNN
+
+    images, labels, classes = load_image_folder(args.data_dir)
+    model = VGG16() if args.model == "vgg16" else SmallCNN()
+    trainer = Trainer(
+        model,
+        TrainConfig(
+            learning_rate=args.lr, epochs=args.epochs,
+            batch_size=args.batch_size,
+            freeze_backbone=args.freeze_backbone,
+        ),
+        input_shape=images.shape[1:],
+    )
+    trainer.fit(images, labels, log_fn=print)
+    if args.checkpoint:
+        trainer.save(args.checkpoint)
+        print(f"saved checkpoint to {args.checkpoint}")
+    loss, acc, _ = trainer.evaluate(images, labels)
+    print(f"final train loss={loss:.4f} accuracy={acc:.4f} classes={classes}")
+    return 0
+
+
+def cmd_config(args) -> int:
+    from fmcw_radar_processing_tpu.config import (
+        RadarConfig,
+        device_config_from_xml_file,
+    )
+
+    cfg = RadarConfig.create(device_config_from_xml_file(args.xml))
+    print(cfg.to_json())
+    return 0
+
+
+def build_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(prog="fmcw-tpu")
+    sub = p.add_subparsers(dest="cmd", required=True)
+
+    pp = sub.add_parser("process", help="run the signal chain on a recording")
+    pp.add_argument("base", help="recording base path (<base>.xml + <base>.raw.bin)")
+    pp.add_argument("--activity", action="store_true")
+    pp.add_argument("--output-dir")
+    pp.set_defaults(fn=cmd_process)
+
+    ps = sub.add_parser("synth", help="generate a synthetic recording")
+    ps.add_argument("base")
+    ps.add_argument("--frames", type=int, default=256)
+    ps.add_argument("--target", action="append",
+                    help="range_m:doppler_offset[:amplitude] (repeatable)")
+    ps.add_argument("--seed", type=int, default=0)
+    ps.set_defaults(fn=cmd_synth)
+
+    po = sub.add_parser("serve-once", help="run the service handler once")
+    po.add_argument("--fdata", default="radar_data")
+    po.add_argument("--workdir", default=".")
+    po.add_argument("--storage", default=None)
+    po.add_argument("--activity", action="store_true")
+    po.add_argument("--no-upload", action="store_true")
+    po.set_defaults(fn=cmd_serve_once)
+
+    pt = sub.add_parser("train", help="train the spectrogram classifier")
+    pt.add_argument("--data-dir", required=True)
+    pt.add_argument("--model", choices=["vgg16", "small"], default="small")
+    pt.add_argument("--lr", type=float, default=1e-4)
+    pt.add_argument("--epochs", type=int, default=10)
+    pt.add_argument("--batch-size", type=int, default=32)
+    pt.add_argument("--freeze-backbone", action="store_true")
+    pt.add_argument("--checkpoint")
+    pt.set_defaults(fn=cmd_train)
+
+    pc = sub.add_parser("config", help="print derived configuration as JSON")
+    pc.add_argument("xml")
+    pc.set_defaults(fn=cmd_config)
+    return p
+
+
+def main(argv=None) -> int:
+    args = build_parser().parse_args(argv)
+    return args.fn(args)
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -1,0 +1,197 @@
+"""Service handler — the `main(input)` endpoint of the reference
+(radar_processing_with_azure.m:9-100), re-built as a storage-agnostic
+Python service.
+
+Request/response contract (kept byte-compatible so existing dashboard
+clients keep working):
+
+    input:  {"processAnimalActivity": "yes"|"no"}       (:16-22)
+    output: {"status": "success"|"error",
+             "message": str,
+             "steps": [{"step", "status", "message"}, ...]}   (:95-99)
+
+Steps: Read Files → Radar Processing → Upload JSON, each try/except'd with
+early-return on failure (:38-45, :56-66). The reference's stray
+non-comment line at :67 (a latent syntax error) is fixed as per its
+obvious intent (SURVEY Appendix A #7). Improvements over the reference's
+failure story (SURVEY §5.3): storage operations retry with exponential
+backoff, and every step records wall-clock duration.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import os
+import time
+from typing import Any, Callable
+
+from fmcw_radar_processing_tpu.config import RadarConfig
+from fmcw_radar_processing_tpu.io.raw_format import read_recording
+from fmcw_radar_processing_tpu.io.storage import Storage, get_storage
+from fmcw_radar_processing_tpu.pipeline.recording import RadarPipeline
+from fmcw_radar_processing_tpu.pipeline.spectrogram_image import (
+    render_spectrogram_png,
+)
+from fmcw_radar_processing_tpu.utils.jsonio import write_json
+
+
+@dataclasses.dataclass
+class HandlerConfig:
+    fdata: str = "radar_data"  # base recording name (:15 of blob reader)
+    workdir: str = "."
+    storage_spec: str | None = None
+    retries: int = 3
+    retry_backoff_s: float = 0.5
+    upload: bool = True
+
+
+def _retry(fn: Callable[[], Any], retries: int, backoff: float):
+    last: Exception | None = None
+    for attempt in range(retries):
+        try:
+            return fn()
+        except Exception as e:  # noqa: BLE001 — step status captures it
+            last = e
+            if attempt + 1 < retries:
+                time.sleep(backoff * (2**attempt))
+    raise last  # type: ignore[misc]
+
+
+class RadarService:
+    """Stateful service: storage + compiled pipelines, reused across requests."""
+
+    def __init__(self, config: HandlerConfig | None = None,
+                 storage: Storage | None = None):
+        self.config = config or HandlerConfig()
+        self.storage = storage or get_storage(self.config.storage_spec)
+        self._pipelines: dict[tuple, RadarPipeline] = {}
+
+    # -------------------- steps --------------------
+
+    def _download(self) -> str:
+        """Step 1: fetch <fdata>.xml + <fdata>.raw.bin
+        (read_data_from_blob_storage.m:18-27)."""
+        base = os.path.join(self.config.workdir, self.config.fdata)
+        for ext in (".xml", ".raw.bin"):
+            name = self.config.fdata + ext
+            _retry(
+                lambda n=name, e=ext: self.storage.get(n, base + e),
+                self.config.retries,
+                self.config.retry_backoff_s,
+            )
+        return base
+
+    def _upload_json(self, path: str):
+        if self.config.upload:
+            name = os.path.basename(path)
+            _retry(
+                lambda: self.storage.put(path, name, "application/json"),
+                self.config.retries,
+                self.config.retry_backoff_s,
+            )
+
+    def _upload_png(self, path: str):
+        if self.config.upload:
+            name = os.path.basename(path)
+            _retry(
+                lambda: self.storage.put(path, name, "image/png"),
+                self.config.retries,
+                self.config.retry_backoff_s,
+            )
+
+    def _pipeline_for(self, cfg: RadarConfig) -> RadarPipeline:
+        key = (cfg.device, cfg.algorithm)
+        if key not in self._pipelines:
+            self._pipelines[key] = RadarPipeline(cfg, filename=self.config.fdata)
+        return self._pipelines[key]
+
+    def _process(self, basepath: str, activity: bool) -> list[str]:
+        """Step 2: the signal chain + JSON/PNG export + upload
+        (radar_processing.m:195-436 'no' / :440-607 'yes')."""
+        rec = read_recording(basepath)
+        cfg = RadarConfig.create(rec.device)
+        pipe = self._pipeline_for(cfg)
+        raw = rec.rx1_pair()
+        calib = rec.calib_pair(0, cfg.nts)
+        written: list[str] = []
+        if not activity:
+            out = pipe.process_recording(raw, calib)
+            for name, payload in out.payloads.items():
+                path = os.path.join(self.config.workdir, name)
+                write_json(path, payload)
+                self._upload_json(path)
+                written.append(path)
+            png = os.path.join(self.config.workdir, "spectrogram.png")
+            render_spectrogram_png(
+                png,
+                out.spectrogram_times,
+                out.spectrogram_freqs,
+                out.spectrogram_intensity,
+            )
+            self._upload_png(png)  # :348
+            written.append(png)
+        else:
+            for batch in pipe.process_activity(raw, calib):
+                path = os.path.join(self.config.workdir, batch.filename)
+                write_json(path, batch.payload)
+                self._upload_json(path)  # :593
+                written.append(path)
+        return written
+
+    # -------------------- the endpoint --------------------
+
+    def main(self, request: dict | None = None) -> dict:
+        """The `main(input)` endpoint (radar_processing_with_azure.m:9)."""
+        request = request or {}
+        flag = str(request.get("processAnimalActivity", "no")).lower()  # :16-22
+        activity = flag == "yes"
+        steps: list[dict] = []
+
+        def fail(step: str, exc: Exception, message: str) -> dict:
+            steps.append(
+                {"step": step, "status": "error", "message": str(exc)}
+            )
+            return {"status": "error", "message": message, "steps": steps}
+
+        t0 = time.perf_counter()
+        try:
+            basepath = self._download()
+            steps.append({
+                "step": "Read Files",
+                "status": "success",
+                "message": "Files downloaded from storage successfully.",
+                "duration_s": round(time.perf_counter() - t0, 4),
+            })
+        except Exception as e:  # :38-45
+            return fail("Read Files", e, "Failed at reading files from blob storage.")
+
+        t1 = time.perf_counter()
+        try:
+            written = self._process(basepath, activity)
+            steps.append({
+                "step": "Radar Processing",
+                "status": "success",
+                "message": "Radar data processed successfully.",
+                "artifacts": [os.path.basename(w) for w in written],
+                "duration_s": round(time.perf_counter() - t1, 4),
+            })
+        except Exception as e:  # :56-66
+            return fail("Radar Processing", e, "Failed at radar processing step.")
+
+        # Step 3 records upload success; actual uploads happen inside
+        # processing, exactly as in the reference (:67-85, quirk #7 fixed).
+        steps.append({
+            "step": "Upload JSON",
+            "status": "success",
+            "message": "Processed JSON uploaded to storage.",
+        })
+        return {
+            "status": "success",
+            "message": "All steps completed successfully.",
+            "steps": steps,
+        }
+
+
+def main(request: dict | None = None, config: HandlerConfig | None = None) -> dict:
+    """Module-level convenience endpoint (one-shot service)."""
+    return RadarService(config).main(request)
