@@ -88,6 +88,47 @@ class DopplerPeaks(NamedTuple):
     speed: jax.Array  # [..., T] float32 m/s (0 for rejected/zero-velocity)
 
 
+def doppler_at_bins(
+    op: "SlowTimeOperator", range_fft: jax.Array, idx: jax.Array
+) -> jax.Array:
+    """Doppler spectra at selected range bins only.
+
+    The reference computes the Doppler FFT solely at detected bins
+    (radar_processing.m:216-219); for T = max_num_targets ≪ K this gathered
+    form does T/K of the full-map work and never materializes the
+    [F, K, D, 2] cube in HBM.
+
+    range_fft: [..., PN, K, 2]; idx: [..., T] range-bin indices.
+    Returns rd rows [..., T, D, 2].
+    """
+    # Gather rows: [..., PN, T, 2] → transpose PN/T → matmul over PN.
+    gathered = jnp.take_along_axis(
+        range_fft, idx[..., None, :, None], axis=-2
+    )  # [..., PN, T, 2]
+    rows = jnp.swapaxes(gathered, -3, -2)  # [..., T, PN, 2]
+    return pair_matmul(
+        rows, jnp.asarray(op.m_re), jnp.asarray(op.m_im), "...tp,dp->...td"
+    )
+
+
+def doppler_peaks_at(
+    rd_rows: jax.Array, cfg: RadarConfig
+) -> DopplerPeaks:
+    """Peak extraction from per-target Doppler rows [..., T, D, 2]
+    (radar_processing.m:227-239 semantics, same as doppler_peaks)."""
+    zero_bin = cfg.zero_doppler_bin
+    rows = pair_abs(rd_rows)  # [..., T, D]
+    dop_idx = jnp.argmax(rows, axis=-1).astype(jnp.int32)
+    val = jnp.max(rows, axis=-1)
+    accept = (val >= cfg.algorithm.doppler_threshold) & (dop_idx != zero_bin)
+    dop_idx = jnp.where(accept, dop_idx, zero_bin)
+    speed = (
+        (dop_idx - zero_bin).astype(jnp.float32)
+        * jnp.float32(-cfg.derived.fd_per_bin * cfg.derived.hz_to_mps)
+    )
+    return DopplerPeaks(doppler_idx=dop_idx, speed=speed)
+
+
 def doppler_peaks(
     rd_map: jax.Array, detection: DetectionResult, cfg: RadarConfig
 ) -> DopplerPeaks:

@@ -1,0 +1,121 @@
+"""Pallas TPU kernel: fused fast-time range DFT + non-coherent integration.
+
+One kernel instance processes a group of frames and performs, entirely in
+VMEM:
+
+    1. the affine complex range DFT  Y = M·x − off  as four real MXU
+       matmuls (radar_processing.m:201-207 collapsed, see dsp/fast_time.py);
+    2. the magnitude map |Y|;
+    3. the per-frame non-coherent integration max over chirps
+       (radar_processing.m:210) — the detection profile.
+
+Fusing (2)+(3) into the matmul kernel is the point: the XLA path writes the
+[F, PN, K, 2] FFT cube to HBM and reads it back for the profile reduction;
+here the magnitudes never leave VMEM, saving a full HBM round-trip of the
+largest intermediate on the bandwidth-bound side of the chain.
+
+Group size is chosen so each matmul tile is (G·PN ≥ 128) × NTS × K —
+MXU-shaped. All operands are float32 (pair convention, utils/cplx.py).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from fmcw_radar_processing_tpu.config import RadarConfig
+from fmcw_radar_processing_tpu.dsp.fast_time import build_fast_time_matrix
+
+
+def _kernel(xr_ref, xi_ref, mr_ref, mi_ref, offr_ref, offi_ref,
+            yr_ref, yi_ref, prof_ref, *, group: int, pn: int):
+    xr = xr_ref[:]  # [G·PN, NTS]
+    xi = xi_ref[:]
+    mr = mr_ref[:]  # [NTS, K]
+    mi = mi_ref[:]
+    yr = (
+        jnp.dot(xr, mr, preferred_element_type=jnp.float32)
+        - jnp.dot(xi, mi, preferred_element_type=jnp.float32)
+        - offr_ref[:]
+    )
+    yi = (
+        jnp.dot(xr, mi, preferred_element_type=jnp.float32)
+        + jnp.dot(xi, mr, preferred_element_type=jnp.float32)
+        - offi_ref[:]
+    )
+    yr_ref[:] = yr
+    yi_ref[:] = yi
+    mag = jnp.sqrt(yr * yr + yi * yi)  # [G·PN, K], stays in VMEM
+    k = mag.shape[-1]
+    prof_ref[:] = jnp.max(mag.reshape(group, pn, k), axis=1)
+
+
+@functools.partial(jax.jit, static_argnames=("cfg", "interpret"))
+def fast_time_pallas(
+    raw: jax.Array, calib: jax.Array, cfg: RadarConfig,
+    interpret: bool | None = None,
+):
+    """Fused fast-time stage.
+
+    raw: [F, PN, NTS, 2] float32; calib: [NTS, 2] float32.
+    Returns (range_fft [F, PN, K, 2], profile [F, K]).
+    interpret: None = auto (interpreter off TPU, compiled on TPU).
+    """
+    if interpret is None:
+        interpret = jax.default_backend() not in ("tpu", "axon")
+    f, pn, nts, _ = raw.shape
+    k = cfg.range_fft_size
+    m = build_fast_time_matrix(cfg)
+    mr = jnp.asarray(m.real.T.copy(), jnp.float32)  # [NTS, K]
+    mi = jnp.asarray(m.imag.T.copy(), jnp.float32)
+    # offset = M @ calib (pair arithmetic), computed once per call.
+    cr, ci = calib[..., 0], calib[..., 1]
+    offr = (cr @ mr - ci @ mi)[None, :]  # [1, K]
+    offi = (cr @ mi + ci @ mr)[None, :]
+
+    # Group frames so each tile has ≥128 matmul rows.
+    group = max(1, -(-128 // pn))
+    f_pad = -(-f // group) * group
+    xr = raw[..., 0].reshape(f * pn, nts)
+    xi = raw[..., 1].reshape(f * pn, nts)
+    if f_pad != f:
+        pad = ((0, (f_pad - f) * pn), (0, 0))
+        xr = jnp.pad(xr, pad)
+        xi = jnp.pad(xi, pad)
+
+    rows = group * pn
+    grid = (f_pad // group,)
+    row_spec = pl.BlockSpec((rows, nts), lambda i: (i, 0),
+                            memory_space=pltpu.VMEM)
+    w_spec = pl.BlockSpec((nts, k), lambda i: (0, 0), memory_space=pltpu.VMEM)
+    off_spec = pl.BlockSpec((1, k), lambda i: (0, 0), memory_space=pltpu.VMEM)
+    out_row_spec = pl.BlockSpec((rows, k), lambda i: (i, 0),
+                                memory_space=pltpu.VMEM)
+    prof_spec = pl.BlockSpec((group, k), lambda i: (i, 0),
+                             memory_space=pltpu.VMEM)
+
+    yr, yi, prof = pl.pallas_call(
+        functools.partial(_kernel, group=group, pn=pn),
+        grid=grid,
+        in_specs=[row_spec, row_spec, w_spec, w_spec, off_spec, off_spec],
+        out_specs=[out_row_spec, out_row_spec, prof_spec],
+        out_shape=[
+            jax.ShapeDtypeStruct((f_pad * pn, k), jnp.float32),
+            jax.ShapeDtypeStruct((f_pad * pn, k), jnp.float32),
+            jax.ShapeDtypeStruct((f_pad, k), jnp.float32),
+        ],
+        cost_estimate=pl.CostEstimate(
+            flops=4 * 2 * f_pad * pn * nts * k,
+            bytes_accessed=4 * (2 * f_pad * pn * (nts + k) + f_pad * k),
+            transcendentals=f_pad * pn * k,  # sqrt
+        ),
+        interpret=interpret,
+    )(xr, xi, mr, mi, offr, offi)
+
+    rf = jnp.stack([yr[: f * pn], yi[: f * pn]], axis=-1).reshape(f, pn, k, 2)
+    return rf, prof[:f]

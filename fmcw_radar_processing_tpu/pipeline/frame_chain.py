@@ -26,7 +26,8 @@ from fmcw_radar_processing_tpu.dsp.fast_time import FastTimeOperator, range_prof
 from fmcw_radar_processing_tpu.dsp.slow_time import (
     DopplerPeaks,
     SlowTimeOperator,
-    doppler_peaks,
+    doppler_at_bins,
+    doppler_peaks_at,
     measurements,
 )
 
@@ -47,22 +48,43 @@ class FrameChainOutputs(NamedTuple):
     range_fft: jax.Array | None  # [F, PN, K, 2] float32 pair, if requested
 
 
-def make_frame_chain(cfg: RadarConfig, return_range_fft: bool = False):
+def make_frame_chain(
+    cfg: RadarConfig, return_range_fft: bool = False, impl: str = "xla"
+):
     """Build the jitted recording chain for a fixed config.
 
     Returns fn(raw [F, PN, NTS, 2], calib [NTS, 2]) -> FrameChainOutputs.
     F is a trace-time constant (one compile per recording length bucket).
+
+    impl: 'xla' (einsum formulation, XLA fuses) or 'pallas' (hand-fused
+    VMEM kernels for the fast-time matmul + profile reduction and the peak
+    search; ops/). Outputs are identical.
     """
+    if impl not in ("xla", "pallas"):
+        raise ValueError(f"unknown impl {impl!r}")
     ft = FastTimeOperator.create(cfg)
     st = SlowTimeOperator.create(cfg)
 
     @jax.jit
     def chain(raw: jax.Array, calib: jax.Array) -> FrameChainOutputs:
-        rf = ft(raw, calib)  # [F, PN, K, 2]
-        profile = range_profile(rf)  # [F, K]
-        det = search_peaks(profile, cfg)  # [F, T]
-        rd = st(rf)  # [F, K, D, 2]
-        dop = doppler_peaks(rd, det, cfg)
+        if impl == "pallas":
+            from fmcw_radar_processing_tpu.ops.detect_pallas import (
+                search_peaks_pallas,
+            )
+            from fmcw_radar_processing_tpu.ops.fast_time_pallas import (
+                fast_time_pallas,
+            )
+
+            rf, profile = fast_time_pallas(raw, calib, cfg)
+            det = search_peaks_pallas(profile, cfg)
+        else:
+            rf = ft(raw, calib)  # [F, PN, K, 2]
+            profile = range_profile(rf)  # [F, K]
+            det = search_peaks(profile, cfg)  # [F, T]
+        # Doppler only at detected bins (radar_processing.m:216-219): T ≪ K,
+        # so the full [F, K, D] map is never materialized.
+        rd_rows = doppler_at_bins(st, rf, det.idx)  # [F, T, D, 2]
+        dop = doppler_peaks_at(rd_rows, cfg)
         meas = measurements(det, dop, cfg)
         # Chirp row at the strongest detected bin, per frame (:258-259).
         strongest = jnp.take_along_axis(

@@ -71,10 +71,11 @@ class ActivityBatchOutput:
 class RadarPipeline:
     """Compiled recording pipelines for a fixed RadarConfig."""
 
-    def __init__(self, cfg: RadarConfig, filename: str = "radar_data"):
+    def __init__(self, cfg: RadarConfig, filename: str = "radar_data",
+                 impl: str = "xla"):
         self.cfg = cfg
         self.filename = filename
-        self._chain = make_frame_chain(cfg)
+        self._chain = make_frame_chain(cfg, impl=impl)
 
     # ---------------- jitted stages ----------------
 
