@@ -33,6 +33,7 @@ Faithfulness notes (SURVEY Appendix A #3/#4):
 from __future__ import annotations
 
 import dataclasses
+import functools
 from typing import NamedTuple
 
 import jax
@@ -143,17 +144,48 @@ class StftOperator:
                                  freqs=freqs, times=times)
 
 
+DB_FLOOR = -1000.0
+"""dB floor standing in for MATLAB's −inf at P = 0 (radar_processing.m:283).
+
+−1000 dB is far below any representable float32 power ratio (−758 dB), so
+no physical value is affected; a finite floor keeps the downstream
+log-frequency rescale expressible as a matmul (−inf · 0 = NaN would poison
+it) and keeps payloads JSON-clean.
+"""
+
+
 def psd_db(result: SpectrogramResult) -> jax.Array:
     """Reference dB normalization: 20·log10(P / global_max) over valid columns
-    (radar_processing.m:282-283; the G>0 guard of :547-552 maps zeros to −inf).
-    """
+    (radar_processing.m:282-283; the G>0 guard of :547-552 maps zeros to the
+    floor)."""
     g = jnp.max(result.power, axis=(-2, -1), keepdims=True)
     safe_g = jnp.where(g > 0, g, 1.0)
     return jnp.where(
         result.power > 0,
-        20.0 * jnp.log10(jnp.maximum(result.power, 1e-45) / safe_g),
-        -jnp.inf,
+        jnp.maximum(20.0 * jnp.log10(jnp.maximum(result.power, 1e-45) / safe_g),
+                    DB_FLOOR),
+        DB_FLOOR,
     )
+
+
+@functools.lru_cache(maxsize=32)
+def _log_interp_matrix(nb: int, num_bins: int) -> np.ndarray:
+    """Static interpolation operator W [num_bins, nb].
+
+    The log grid normalized by the bin width is logspace(0, log10(nb−1))
+    — independent of df/fs — so linear interpolation onto it is a fixed
+    2-nonzeros-per-row matrix. Applying W as a dense MXU matmul replaces
+    two [num_bins, T]-sized gathers with one high-intensity contraction:
+    the dominant cost of the spectrogram export at hop 1.
+    """
+    pos = np.logspace(0.0, np.log10(nb - 1), num_bins)
+    i0 = np.clip(np.floor(pos).astype(np.int64), 0, nb - 2)
+    frac = pos - i0
+    w = np.zeros((num_bins, nb), np.float32)
+    rows = np.arange(num_bins)
+    w[rows, i0] = (1.0 - frac).astype(np.float32)
+    w[rows, i0 + 1] += frac.astype(np.float32)
+    return w
 
 
 def log_frequency_rescale(
@@ -162,23 +194,21 @@ def log_frequency_rescale(
     """Log-spaced frequency re-gridding (radar_processing.m:291-299).
 
     Grid: logspace(log10(min positive freq), log10(max freq), num_bins).
-    Because the one-sided axis is uniform (freqs[i] = i·df), interpolation
-    indices are computed in closed form — a take + lerp, no searchsorted.
-    The grid lies inside [freqs[1], freqs[-1]] ⊂ [freqs[0], freqs[-1]], so
-    MATLAB's 'extrap' never actually extrapolates; plain interior linear
-    interpolation is exact.
+    Because the one-sided axis is uniform (freqs[i] = i·df), the grid lies
+    inside [freqs[1], freqs[-1]] ⊂ [freqs[0], freqs[-1]] — MATLAB's
+    'extrap' never actually extrapolates — and the interpolation weights
+    are a static matrix (see _log_interp_matrix), so the whole rescale is
+    one matmul.
 
     freqs: [nb] uniform axis with freqs[0] = 0; values: [..., nb, T].
     Returns (log_bins [num_bins], interp [..., num_bins, T]).
     """
     nb = freqs.shape[0]
     df = freqs[1]
-    log_bins = jnp.logspace(
-        jnp.log10(freqs[1]), jnp.log10(freqs[-1]), num_bins, dtype=jnp.float32
+    w = jnp.asarray(_log_interp_matrix(nb, num_bins))
+    log_bins = df * jnp.asarray(
+        np.logspace(0.0, np.log10(nb - 1), num_bins, dtype=np.float64)
+        .astype(np.float32)
     )
-    pos = log_bins / df
-    i0 = jnp.clip(jnp.floor(pos).astype(jnp.int32), 0, nb - 2)
-    frac = (pos - i0.astype(jnp.float32))[:, None]
-    lo = jnp.take(values, i0, axis=-2)
-    hi = jnp.take(values, i0 + 1, axis=-2)
-    return log_bins, lo * (1.0 - frac) + hi * frac
+    interp = jnp.einsum("on,...nt->...ot", w, values)
+    return log_bins, interp

@@ -84,10 +84,15 @@ class ShardedStft:
                 jnp.max(local_p), axis_name=axis_names
             )
             safe_g = jnp.where(g > 0, g, 1.0)
+            from fmcw_radar_processing_tpu.dsp.stft import DB_FLOOR
+
             db = jnp.where(
                 local_p > 0,
-                20.0 * jnp.log10(jnp.maximum(local_p, 1e-45) / safe_g),
-                -jnp.inf,
+                jnp.maximum(
+                    20.0 * jnp.log10(jnp.maximum(local_p, 1e-45) / safe_g),
+                    DB_FLOOR,
+                ),
+                DB_FLOOR,
             )
             return local_p, db, valid
 
