@@ -137,6 +137,45 @@ def write_recording(basepath: str, rec: RawRecording) -> tuple[str, str]:
     return xml_path, bin_path
 
 
+def load_recording_for_chain(basepath: str, rx: int = 0):
+    """Load <base>.{xml,raw.bin} straight into the chain's input layout.
+
+    Prefers the native C++ streaming reader (io/native_loader.py) and falls
+    back to the NumPy reader. Returns (raw_pair [F, PN, NTS, 2] float32,
+    calib_pair [NTS, 2] float32, DeviceConfig).
+    """
+    with open(basepath + ".xml", "r", encoding="utf-8") as fh:
+        device = device_config_from_xml(fh.read())
+    try:
+        from fmcw_radar_processing_tpu.io.native_loader import (
+            NativeRecordingReader,
+            native_available,
+        )
+
+        if native_available():
+            r = NativeRecordingReader(basepath + ".raw.bin")
+            if (r.pn, r.nts, r.num_rx) != (
+                device.pn, device.nts, device.num_rx_antennas
+            ):
+                raise ValueError(
+                    f"raw.bin header {(r.num_rx, r.pn, r.nts)} disagrees with "
+                    f"XML config {(device.num_rx_antennas, device.pn, device.nts)}"
+                )
+            raw = r.read_frames(0, r.frame_count, rx=rx)
+            calib = r.calib_vector_pair(rx=rx, nts=device.nts)
+            return raw, calib, device
+    except ImportError:
+        pass
+    rec = read_recording(basepath)
+    from fmcw_radar_processing_tpu.utils.cplx import to_pair
+
+    return (
+        to_pair(rec.frames[:, rx]),
+        to_pair(rec.calib_vector(rx, device.nts)),
+        device,
+    )
+
+
 def read_recording(basepath: str) -> RawRecording:
     """Read <base>.xml + <base>.raw.bin → RawRecording with DeviceConfig."""
     with open(basepath + ".xml", "r", encoding="utf-8") as fh:

@@ -26,7 +26,7 @@ import time
 from typing import Any, Callable
 
 from fmcw_radar_processing_tpu.config import RadarConfig
-from fmcw_radar_processing_tpu.io.raw_format import read_recording
+from fmcw_radar_processing_tpu.io.raw_format import load_recording_for_chain
 from fmcw_radar_processing_tpu.io.storage import Storage, get_storage
 from fmcw_radar_processing_tpu.pipeline.recording import RadarPipeline
 from fmcw_radar_processing_tpu.pipeline.spectrogram_image import (
@@ -108,11 +108,9 @@ class RadarService:
     def _process(self, basepath: str, activity: bool) -> list[str]:
         """Step 2: the signal chain + JSON/PNG export + upload
         (radar_processing.m:195-436 'no' / :440-607 'yes')."""
-        rec = read_recording(basepath)
-        cfg = RadarConfig.create(rec.device)
+        raw, calib, device = load_recording_for_chain(basepath)
+        cfg = RadarConfig.create(device)
         pipe = self._pipeline_for(cfg)
-        raw = rec.rx1_pair()
-        calib = rec.calib_pair(0, cfg.nts)
         written: list[str] = []
         if not activity:
             out = pipe.process_recording(raw, calib)
