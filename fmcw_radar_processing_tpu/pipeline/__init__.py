@@ -8,6 +8,10 @@ from fmcw_radar_processing_tpu.pipeline.recording import (  # noqa: F401
     RadarPipeline,
     RecordingOutputs,
 )
+from fmcw_radar_processing_tpu.pipeline.streaming import (  # noqa: F401
+    StreamingProcessor,
+    StreamingWindowResult,
+)
 from fmcw_radar_processing_tpu.pipeline.payloads import (  # noqa: F401
     fft_snapshot_payload,
     range_fft_payload,
