@@ -126,6 +126,23 @@ def cmd_config(args) -> int:
     return 0
 
 
+def cmd_dashboard(args) -> int:
+    from fmcw_radar_processing_tpu.serve.dashboard import DashboardServer
+
+    try:
+        srv = DashboardServer(args.data_dir, port=args.port, host=args.host)
+    except OSError as e:
+        print(f"cannot bind {args.host}:{args.port}: {e.strerror or e}",
+              file=sys.stderr)
+        return 1
+    print(f"dashboard on {srv.url} (data: {args.data_dir}) — Ctrl-C to stop")
+    try:
+        srv.serve_forever()
+    except KeyboardInterrupt:
+        pass
+    return 0
+
+
 def build_parser() -> argparse.ArgumentParser:
     p = argparse.ArgumentParser(prog="fmcw-tpu")
     sub = p.add_subparsers(dest="cmd", required=True)
@@ -161,6 +178,12 @@ def build_parser() -> argparse.ArgumentParser:
     pt.add_argument("--freeze-backbone", action="store_true")
     pt.add_argument("--checkpoint")
     pt.set_defaults(fn=cmd_train)
+
+    pd = sub.add_parser("dashboard", help="serve the monitoring dashboard")
+    pd.add_argument("data_dir", help="directory with the pipeline's payloads")
+    pd.add_argument("--port", type=int, default=8050)
+    pd.add_argument("--host", default="127.0.0.1")
+    pd.set_defaults(fn=cmd_dashboard)
 
     pc = sub.add_parser("config", help="print derived configuration as JSON")
     pc.add_argument("xml")
