@@ -139,17 +139,26 @@ class RadarPipeline:
         )
 
     def process_recording(
-        self, raw: np.ndarray, calib: np.ndarray
+        self, raw: np.ndarray, calib: np.ndarray, timer=None
     ) -> RecordingOutputs:
-        """Full-recording mode — radar_processing('no') (:195-436)."""
-        cfg = self.cfg
-        out = self.run_chain(raw, calib)
-        signal, count_dev = pack_slow_time(
-            out.strongest_chirps, out.detected, cfg.pn
-        )
-        count = int(count_dev)  # the single host sync of the pipeline
+        """Full-recording mode — radar_processing('no') (:195-436).
 
-        spec = self._spectrogram_of_signal(signal, count)
+        timer: optional utils.observe.StageTimer — records per-stage,
+        device-synced wall times (frame_chain / stft / payload_build).
+        """
+        from fmcw_radar_processing_tpu.utils.observe import NullTimer
+
+        tm = timer if timer is not None else NullTimer()
+        cfg = self.cfg
+        with tm.stage("frame_chain", items=raw.shape[0]):
+            out = self.run_chain(raw, calib)
+            signal, count_dev = pack_slow_time(
+                out.strongest_chirps, out.detected, cfg.pn
+            )
+            count = int(count_dev)  # the single host sync of the pipeline
+
+        with tm.stage("stft", items=count):
+            spec = tm.observe(self._spectrogram_of_signal(signal, count))
         if spec is None:
             times = np.zeros(0)
             log_bins = np.zeros(cfg.algorithm.max_freq_bins)
@@ -157,10 +166,11 @@ class RadarPipeline:
         else:
             times, log_bins, intensity = spec
 
-        waterfall = np.asarray(out.waterfall).T  # (K, F)
-        t_range = np.asarray(out.range)
-        t_speed = np.asarray(out.speed)
-        t_strength = np.asarray(out.strength)
+        with tm.stage("payload_build"):
+            waterfall = np.asarray(out.waterfall).T  # (K, F)
+            t_range = np.asarray(out.range)
+            t_speed = np.asarray(out.speed)
+            t_strength = np.asarray(out.strength)
 
         payloads = {
             "spectrogram_data.json": spectrogram_payload(

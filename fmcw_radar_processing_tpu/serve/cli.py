@@ -24,6 +24,22 @@ def cmd_process(args) -> int:
     from fmcw_radar_processing_tpu.utils.jsonio import write_json
     import os
 
+    import contextlib
+
+    from fmcw_radar_processing_tpu.utils.observe import StageTimer, trace
+
+    timer = StageTimer() if args.profile else None
+    if args.trace_dir:
+        try:
+            os.makedirs(args.trace_dir, exist_ok=True)
+        except OSError as e:
+            print(f"cannot create trace dir {args.trace_dir}: "
+                  f"{e.strerror or e}", file=sys.stderr)
+            return 1
+        tracer = trace(args.trace_dir)
+    else:
+        tracer = contextlib.nullcontext()
+
     rec = read_recording(args.base)
     cfg = RadarConfig.create(rec.device)
     name = os.path.basename(args.base)
@@ -31,22 +47,37 @@ def cmd_process(args) -> int:
     raw, calib = rec.rx1_pair(), rec.calib_pair(0, cfg.nts)
     outdir = args.output_dir or "."
     os.makedirs(outdir, exist_ok=True)
-    if args.activity:
-        batches = pipe.process_activity(raw, calib)
-        for b in batches:
-            write_json(os.path.join(outdir, b.filename), b.payload)
-            print(f"wrote {b.filename}")
-    else:
-        out = pipe.process_recording(raw, calib)
-        for fname, payload in out.payloads.items():
-            write_json(os.path.join(outdir, fname), payload)
-            print(f"wrote {fname}")
-        png = os.path.join(outdir, "spectrogram.png")
-        render_spectrogram_png(
-            png, out.spectrogram_times, out.spectrogram_freqs,
-            out.spectrogram_intensity,
-        )
-        print(f"wrote {png}")
+    with tracer:
+        if args.activity:
+            if timer is not None:
+                with timer.stage("activity_batches", items=raw.shape[0]):
+                    batches = pipe.process_activity(raw, calib)
+            else:
+                batches = pipe.process_activity(raw, calib)
+            for b in batches:
+                write_json(os.path.join(outdir, b.filename), b.payload)
+                print(f"wrote {b.filename}")
+        else:
+            out = pipe.process_recording(raw, calib, timer=timer)
+            if timer is not None:
+                with timer.stage("json_write"):
+                    for fname, payload in out.payloads.items():
+                        write_json(os.path.join(outdir, fname), payload)
+                        print(f"wrote {fname}")
+            else:
+                for fname, payload in out.payloads.items():
+                    write_json(os.path.join(outdir, fname), payload)
+                    print(f"wrote {fname}")
+            png = os.path.join(outdir, "spectrogram.png")
+            render_spectrogram_png(
+                png, out.spectrogram_times, out.spectrogram_freqs,
+                out.spectrogram_intensity,
+            )
+            print(f"wrote {png}")
+    if timer is not None:
+        print(timer.pretty())
+    if args.trace_dir:
+        print(f"profiler trace in {args.trace_dir}")
     return 0
 
 
@@ -151,6 +182,10 @@ def build_parser() -> argparse.ArgumentParser:
     pp.add_argument("base", help="recording base path (<base>.xml + <base>.raw.bin)")
     pp.add_argument("--activity", action="store_true")
     pp.add_argument("--output-dir")
+    pp.add_argument("--profile", action="store_true",
+                    help="print per-stage timings and throughput")
+    pp.add_argument("--trace-dir",
+                    help="capture a jax profiler trace into this directory")
     pp.set_defaults(fn=cmd_process)
 
     ps = sub.add_parser("synth", help="generate a synthetic recording")
