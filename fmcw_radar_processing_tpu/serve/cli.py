@@ -55,18 +55,21 @@ def cmd_process(args) -> int:
             else:
                 batches = pipe.process_activity(raw, calib)
             for b in batches:
-                write_json(os.path.join(outdir, b.filename), b.payload)
+                write_json(os.path.join(outdir, b.filename), b.payload,
+                           pretty=not args.compact_json)
                 print(f"wrote {b.filename}")
         else:
             out = pipe.process_recording(raw, calib, timer=timer)
             if timer is not None:
                 with timer.stage("json_write"):
                     for fname, payload in out.payloads.items():
-                        write_json(os.path.join(outdir, fname), payload)
+                        write_json(os.path.join(outdir, fname), payload,
+                                   pretty=not args.compact_json)
                         print(f"wrote {fname}")
             else:
                 for fname, payload in out.payloads.items():
-                    write_json(os.path.join(outdir, fname), payload)
+                    write_json(os.path.join(outdir, fname), payload,
+                               pretty=not args.compact_json)
                     print(f"wrote {fname}")
             png = os.path.join(outdir, "spectrogram.png")
             render_spectrogram_png(
@@ -184,6 +187,8 @@ def build_parser() -> argparse.ArgumentParser:
     pp.add_argument("--output-dir")
     pp.add_argument("--profile", action="store_true",
                     help="print per-stage timings and throughput")
+    pp.add_argument("--compact-json", action="store_true",
+                    help="write compact (non-pretty) JSON payloads — smaller and much faster")
     pp.add_argument("--trace-dir",
                     help="capture a jax profiler trace into this directory")
     pp.set_defaults(fn=cmd_process)

@@ -41,6 +41,7 @@ class HandlerConfig:
     workdir: str = "."
     storage_spec: str | None = None
     retries: int = 3
+    pretty_json: bool = True  # reference 'PrettyPrint' fidelity; False = fast/compact
     retry_backoff_s: float = 0.5
     upload: bool = True
 
@@ -116,7 +117,7 @@ class RadarService:
             out = pipe.process_recording(raw, calib)
             for name, payload in out.payloads.items():
                 path = os.path.join(self.config.workdir, name)
-                write_json(path, payload)
+                write_json(path, payload, pretty=self.config.pretty_json)
                 self._upload_json(path)
                 written.append(path)
             png = os.path.join(self.config.workdir, "spectrogram.png")
@@ -131,7 +132,7 @@ class RadarService:
         else:
             for batch in pipe.process_activity(raw, calib):
                 path = os.path.join(self.config.workdir, batch.filename)
-                write_json(path, batch.payload)
+                write_json(path, batch.payload, pretty=self.config.pretty_json)
                 self._upload_json(path)  # :593
                 written.append(path)
         return written
