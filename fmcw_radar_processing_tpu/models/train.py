@@ -14,6 +14,8 @@ metrics, checkpointing.
 from __future__ import annotations
 
 import dataclasses
+import json
+import os
 from typing import Any, Callable
 
 import jax
@@ -193,6 +195,31 @@ class Trainer:
             cm[t, p] += 1
         return cm
 
+    def classification_report(
+        self, images: np.ndarray, labels: np.ndarray,
+        class_names: tuple[str, str] = ("0", "1"),
+    ) -> dict:
+        """Per-class precision/recall/F1/support at threshold 0.5 — the
+        sklearn ``classification_report`` the notebook prints (cells 25/29),
+        as a dict (keys per class plus 'accuracy')."""
+        cm = self.confusion_matrix(images, labels)
+        report: dict = {}
+        for c, name in enumerate(class_names):
+            tp = cm[c, c]
+            fp = cm[1 - c, c]
+            fn = cm[c, 1 - c]
+            prec = tp / (tp + fp) if tp + fp else 0.0
+            rec = tp / (tp + fn) if tp + fn else 0.0
+            f1 = 2 * prec * rec / (prec + rec) if prec + rec else 0.0
+            report[name] = {
+                "precision": round(float(prec), 4),
+                "recall": round(float(rec), 4),
+                "f1": round(float(f1), 4),
+                "support": int(cm[c].sum()),
+            }
+        report["accuracy"] = round(float(np.trace(cm) / max(cm.sum(), 1)), 4)
+        return report
+
     # ------------- checkpointing (the .h5 save/load equivalent) -------------
 
     def save(self, path: str):
@@ -207,4 +234,49 @@ class Trainer:
         with ocp.StandardCheckpointer() as ckpt:
             restored = ckpt.restore(path, self.state.params)
         self.state = self.state.replace(params=restored)
+        return self
+
+    # ------------- full resume (beyond the reference's .h5) -------------
+    # The reference checkpoints weights only — no optimizer-state resume
+    # (SURVEY §5.4, notebook cells 21-23). Production training needs true
+    # resume: params + optimizer state + step + history.
+
+    def save_state(self, path: str):
+        import orbax.checkpoint as ocp
+
+        payload = {
+            "params": self.state.params,
+            "opt_state": self.state.opt_state,
+            "step": jnp.asarray(self.state.step),
+            "aug_key": self._aug_key,
+            "drop_key": self._drop_key,
+        }
+        with ocp.StandardCheckpointer() as ckpt:
+            ckpt.save(path, payload, force=True)
+        with open(os.path.join(path, "history.json"), "w") as f:
+            json.dump(self.history, f)
+
+    def load_state(self, path: str):
+        import orbax.checkpoint as ocp
+
+        template = {
+            "params": self.state.params,
+            "opt_state": self.state.opt_state,
+            "step": jnp.asarray(self.state.step),
+            "aug_key": self._aug_key,
+            "drop_key": self._drop_key,
+        }
+        with ocp.StandardCheckpointer() as ckpt:
+            restored = ckpt.restore(path, template)
+        self.state = self.state.replace(
+            params=restored["params"],
+            opt_state=restored["opt_state"],
+            step=int(restored["step"]),
+        )
+        self._aug_key = restored["aug_key"]
+        self._drop_key = restored["drop_key"]
+        hist = os.path.join(path, "history.json")
+        if os.path.exists(hist):
+            with open(hist) as f:
+                self.history = json.load(f)
         return self

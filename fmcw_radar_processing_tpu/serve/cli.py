@@ -140,12 +140,26 @@ def cmd_train(args) -> int:
         ),
         input_shape=images.shape[1:],
     )
+    if args.resume:
+        try:
+            trainer.load_state(args.resume)
+        except FileNotFoundError as e:
+            print(f"cannot resume: {e}", file=sys.stderr)
+            return 1
+        print(f"resumed from {args.resume} (step {int(trainer.state.step)}, "
+              f"{len(trainer.history)} epochs done)")
     trainer.fit(images, labels, log_fn=print)
     if args.checkpoint:
         trainer.save(args.checkpoint)
         print(f"saved checkpoint to {args.checkpoint}")
+    if args.state_dir:
+        trainer.save_state(args.state_dir)
+        print(f"saved full train state to {args.state_dir}")
     loss, acc, _ = trainer.evaluate(images, labels)
     print(f"final train loss={loss:.4f} accuracy={acc:.4f} classes={classes}")
+    names = tuple(classes) if len(classes) == 2 else ("0", "1")
+    print(json.dumps(trainer.classification_report(images, labels, names),
+                     indent=2))
     return 0
 
 
@@ -216,7 +230,10 @@ def build_parser() -> argparse.ArgumentParser:
     pt.add_argument("--epochs", type=int, default=10)
     pt.add_argument("--batch-size", type=int, default=32)
     pt.add_argument("--freeze-backbone", action="store_true")
-    pt.add_argument("--checkpoint")
+    pt.add_argument("--checkpoint", help="save params-only checkpoint (orbax)")
+    pt.add_argument("--state-dir",
+                    help="save FULL train state (params+optimizer+step) for --resume")
+    pt.add_argument("--resume", help="resume from a --state-dir checkpoint")
     pt.set_defaults(fn=cmd_train)
 
     pd = sub.add_parser("dashboard", help="serve the monitoring dashboard")

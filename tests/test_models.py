@@ -115,3 +115,42 @@ def test_checkpoint_roundtrip(tmp_path, rng):
     l1, a1, p1 = t1.evaluate(x, y)
     l2, a2, p2 = t2.evaluate(x, y)
     np.testing.assert_allclose(p1, p2, rtol=1e-6)
+
+
+def test_full_state_resume(tmp_path, rng):
+    """save_state/load_state restores params, opt state, step, keys, history."""
+    x, y = _toy_dataset(rng, n=8, size=16)
+    cfgt = TrainConfig(epochs=1, batch_size=8, augment=True)
+    t1 = Trainer(SmallCNN(), cfgt, input_shape=x.shape[1:])
+    t1.fit(x, y, epochs=2)
+    path = str(tmp_path / "state")
+    t1.save_state(path)
+
+    t2 = Trainer(SmallCNN(), cfgt, input_shape=x.shape[1:])
+    t2.load_state(path)
+    assert int(t2.state.step) == int(t1.state.step)
+    assert t2.history == t1.history
+    for a, b in zip(jax.tree_util.tree_leaves(t1.state.opt_state),
+                    jax.tree_util.tree_leaves(t2.state.opt_state)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-6)
+    # Continued training takes identical next steps (keys restored too).
+    t1.fit(x, y, epochs=1)
+    t2.fit(x, y, epochs=1)
+    _, _, p1 = t1.evaluate(x, y)
+    _, _, p2 = t2.evaluate(x, y)
+    np.testing.assert_allclose(p1, p2, rtol=1e-5, atol=1e-6)
+
+
+def test_classification_report(rng):
+    x, y = _toy_dataset(rng, n=32, size=16)
+    t = Trainer(SmallCNN(), TrainConfig(epochs=3, batch_size=8, augment=False),
+                input_shape=x.shape[1:])
+    t.fit(x, y)
+    rep = t.classification_report(x, y, class_names=("calf", "human"))
+    assert set(rep) == {"calf", "human", "accuracy"}
+    for cls in ("calf", "human"):
+        row = rep[cls]
+        assert set(row) == {"precision", "recall", "f1", "support"}
+        assert 0.0 <= row["f1"] <= 1.0 and row["support"] == 16
+    cm = t.confusion_matrix(x, y)
+    assert rep["accuracy"] == round(float(np.trace(cm) / cm.sum()), 4)
