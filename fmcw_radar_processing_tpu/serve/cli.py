@@ -174,6 +174,30 @@ def cmd_config(args) -> int:
     return 0
 
 
+def cmd_serve(args) -> int:
+    from fmcw_radar_processing_tpu.serve.handler import HandlerConfig
+    from fmcw_radar_processing_tpu.serve.http_service import RadarHttpService
+
+    cfg = HandlerConfig(
+        fdata=args.fdata,
+        workdir=args.workdir,
+        storage_spec=args.storage,
+        upload=not args.no_upload,
+    )
+    try:
+        srv = RadarHttpService(cfg, port=args.port, host=args.host)
+    except OSError as e:
+        print(f"cannot bind {args.host}:{args.port}: {e.strerror or e}",
+              file=sys.stderr)
+        return 1
+    print(f"radar service on {srv.url} (POST /process) — Ctrl-C to stop")
+    try:
+        srv.serve_forever()
+    except KeyboardInterrupt:
+        pass
+    return 0
+
+
 def cmd_dashboard(args) -> int:
     from fmcw_radar_processing_tpu.serve.dashboard import DashboardServer
 
@@ -235,6 +259,15 @@ def build_parser() -> argparse.ArgumentParser:
                     help="save FULL train state (params+optimizer+step) for --resume")
     pt.add_argument("--resume", help="resume from a --state-dir checkpoint")
     pt.set_defaults(fn=cmd_train)
+
+    pv = sub.add_parser("serve", help="run the persistent HTTP service (MPS equivalent)")
+    pv.add_argument("--fdata", default="radar_data")
+    pv.add_argument("--workdir", default=".")
+    pv.add_argument("--storage", default=None)
+    pv.add_argument("--no-upload", action="store_true")
+    pv.add_argument("--port", type=int, default=8060)
+    pv.add_argument("--host", default="127.0.0.1")
+    pv.set_defaults(fn=cmd_serve)
 
     pd = sub.add_parser("dashboard", help="serve the monitoring dashboard")
     pd.add_argument("data_dir", help="directory with the pipeline's payloads")

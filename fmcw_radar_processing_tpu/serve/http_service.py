@@ -1,0 +1,130 @@
+"""HTTP service — the MATLAB Production Server endpoint equivalent.
+
+The reference deploys `main(input)` as an MPS function on Azure Container
+Apps and the dashboard POSTs to it (README.md:20-22,28;
+radar_processing_with_azure.m:9). This is the framework-native server:
+a persistent process holding one `RadarService` (compiled pipelines are
+reused across requests — the expensive XLA trace happens once per
+recording-shape bucket), exposed over stdlib HTTP:
+
+    POST /process   {"processAnimalActivity": "yes"|"no"}  → step-status JSON
+                    (the exact radar_processing_with_azure.m:95-99 contract)
+    GET  /healthz   liveness + request counters
+    GET  /          service info
+
+Requests are serialized through a lock: the TPU is a single shared
+accelerator, and the reference's MPS concurrency model (scale via
+replicas, one request per worker) maps to one in-flight request per
+process here. Zero third-party dependencies.
+"""
+
+from __future__ import annotations
+
+import json
+import threading
+import time
+from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+
+from fmcw_radar_processing_tpu.serve.handler import HandlerConfig, RadarService
+from fmcw_radar_processing_tpu.utils.observe import log_event
+
+
+class _Handler(BaseHTTPRequestHandler):
+    service: RadarService = None  # type: ignore[assignment]
+    lock: threading.Lock = None  # type: ignore[assignment]
+    stats: dict = None  # type: ignore[assignment]
+
+    def _send(self, code: int, obj: dict) -> None:
+        body = json.dumps(obj).encode()
+        self.send_response(code)
+        self.send_header("Content-Type", "application/json")
+        self.send_header("Content-Length", str(len(body)))
+        self.end_headers()
+        self.wfile.write(body)
+
+    def do_GET(self) -> None:  # noqa: N802 (stdlib API)
+        path = self.path.split("?", 1)[0]
+        if path == "/healthz":
+            self._send(200, {"status": "ok", **self.stats})
+        elif path == "/":
+            self._send(200, {
+                "service": "fmcw-radar-processing-tpu",
+                "endpoints": {"POST /process": "run the radar chain",
+                              "GET /healthz": "liveness"},
+            })
+        else:
+            self._send(404, {"status": "error", "message": "not found"})
+
+    def do_POST(self) -> None:  # noqa: N802
+        path = self.path.split("?", 1)[0]
+        if path != "/process":
+            self._send(404, {"status": "error", "message": "not found"})
+            return
+        try:
+            n = int(self.headers.get("Content-Length") or 0)
+            request = json.loads(self.rfile.read(n) or b"{}")
+            if not isinstance(request, dict):
+                raise ValueError("request body must be a JSON object")
+        except (ValueError, json.JSONDecodeError) as e:
+            self._send(400, {"status": "error",
+                             "message": f"bad request: {e}"})
+            return
+        t0 = time.perf_counter()
+        with self.lock:  # one in-flight request per process (see module doc)
+            result = self.service.main(request)
+        dt = round(time.perf_counter() - t0, 4)
+        self.stats["requests"] += 1
+        if result.get("status") != "success":
+            self.stats["errors"] += 1
+        log_event("process_request", status=result.get("status"),
+                  duration_s=dt, steps=len(result.get("steps", [])))
+        # The reference's MPS endpoint returns its status JSON with HTTP 200
+        # even on processing errors (the status field carries the outcome).
+        self._send(200, result)
+
+    def log_message(self, fmt: str, *args) -> None:
+        pass
+
+
+class RadarHttpService:
+    """Threaded HTTP wrapper around RadarService; context-manager friendly."""
+
+    def __init__(self, config: HandlerConfig | None = None,
+                 port: int = 8060, host: str = "127.0.0.1",
+                 service: RadarService | None = None):
+        svc = service or RadarService(config)
+        handler = type("Handler", (_Handler,), {
+            "service": svc,
+            "lock": threading.Lock(),
+            "stats": {"requests": 0, "errors": 0},
+        })
+        self.service = svc
+        self.httpd = ThreadingHTTPServer((host, port), handler)
+        self._thread: threading.Thread | None = None
+
+    @property
+    def url(self) -> str:
+        host, port = self.httpd.server_address[:2]
+        return f"http://{host}:{port}/"
+
+    def start(self) -> "RadarHttpService":
+        self._thread = threading.Thread(
+            target=self.httpd.serve_forever, daemon=True
+        )
+        self._thread.start()
+        return self
+
+    def stop(self) -> None:
+        self.httpd.shutdown()
+        self.httpd.server_close()
+        if self._thread is not None:
+            self._thread.join(timeout=5)
+
+    def serve_forever(self) -> None:
+        self.httpd.serve_forever()
+
+    def __enter__(self) -> "RadarHttpService":
+        return self.start()
+
+    def __exit__(self, *exc) -> None:
+        self.stop()
