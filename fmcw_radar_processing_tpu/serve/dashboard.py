@@ -52,6 +52,8 @@ def build_manifest(data_dir: str) -> dict:
             man["png"] = n
         elif "_spectrogram_batch_" in n and n.endswith(".json"):
             man["batches"].append(n)
+            if man["name"] is None:
+                man["name"] = n.split("_spectrogram_batch_")[0]
     return man
 
 
