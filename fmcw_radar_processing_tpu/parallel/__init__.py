@@ -9,3 +9,6 @@ from fmcw_radar_processing_tpu.parallel.sharded_chain import (  # noqa: F401
 from fmcw_radar_processing_tpu.parallel.sharded_stft import (  # noqa: F401
     ShardedStft,
 )
+from fmcw_radar_processing_tpu.parallel.tp_chain import (  # noqa: F401
+    make_tp_frame_chain,
+)
