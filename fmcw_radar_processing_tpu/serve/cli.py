@@ -155,11 +155,31 @@ def cmd_train(args) -> int:
     if args.state_dir:
         trainer.save_state(args.state_dir)
         print(f"saved full train state to {args.state_dir}")
+    names = tuple(classes) if len(classes) == 2 else ("0", "1")
+    if args.export:
+        from fmcw_radar_processing_tpu.models.infer import export_classifier
+
+        export_classifier(args.export, args.model, trainer.state.params,
+                          images.shape[1:], names)
+        print(f"exported inference artifact to {args.export}")
     loss, acc, _ = trainer.evaluate(images, labels)
     print(f"final train loss={loss:.4f} accuracy={acc:.4f} classes={classes}")
-    names = tuple(classes) if len(classes) == 2 else ("0", "1")
     print(json.dumps(trainer.classification_report(images, labels, names),
                      indent=2))
+    return 0
+
+
+def cmd_classify(args) -> int:
+    from fmcw_radar_processing_tpu.models.infer import SpectrogramClassifier
+
+    try:
+        clf = SpectrogramClassifier.load(args.artifact)
+    except FileNotFoundError as e:
+        print(str(e), file=sys.stderr)
+        return 1
+    results = clf.classify_files(args.images)
+    print(json.dumps({"classes": list(clf.classes),
+                      "predictions": results}, indent=2))
     return 0
 
 
@@ -185,12 +205,17 @@ def cmd_serve(args) -> int:
         upload=not args.no_upload,
     )
     try:
-        srv = RadarHttpService(cfg, port=args.port, host=args.host)
+        srv = RadarHttpService(cfg, port=args.port, host=args.host,
+                               classifier_artifact=args.classifier_artifact)
     except OSError as e:
         print(f"cannot bind {args.host}:{args.port}: {e.strerror or e}",
               file=sys.stderr)
         return 1
-    print(f"radar service on {srv.url} (POST /process) — Ctrl-C to stop")
+    except FileNotFoundError as e:
+        print(str(e), file=sys.stderr)
+        return 1
+    eps = "POST /process" + (", POST /classify" if srv.classifier else "")
+    print(f"radar service on {srv.url} ({eps}) — Ctrl-C to stop")
     try:
         srv.serve_forever()
     except KeyboardInterrupt:
@@ -258,7 +283,17 @@ def build_parser() -> argparse.ArgumentParser:
     pt.add_argument("--state-dir",
                     help="save FULL train state (params+optimizer+step) for --resume")
     pt.add_argument("--resume", help="resume from a --state-dir checkpoint")
+    pt.add_argument("--export",
+                    help="export a self-describing inference artifact "
+                         "(params + meta.json) for classify/serve")
     pt.set_defaults(fn=cmd_train)
+
+    pcl = sub.add_parser("classify",
+                         help="classify spectrogram images with an artifact")
+    pcl.add_argument("--artifact", required=True,
+                     help="inference artifact dir (train --export)")
+    pcl.add_argument("images", nargs="+", help="image files to classify")
+    pcl.set_defaults(fn=cmd_classify)
 
     pv = sub.add_parser("serve", help="run the persistent HTTP service (MPS equivalent)")
     pv.add_argument("--fdata", default="radar_data")
@@ -267,6 +302,8 @@ def build_parser() -> argparse.ArgumentParser:
     pv.add_argument("--no-upload", action="store_true")
     pv.add_argument("--port", type=int, default=8060)
     pv.add_argument("--host", default="127.0.0.1")
+    pv.add_argument("--classifier-artifact",
+                    help="also serve POST /classify from this artifact dir")
     pv.set_defaults(fn=cmd_serve)
 
     pd = sub.add_parser("dashboard", help="serve the monitoring dashboard")

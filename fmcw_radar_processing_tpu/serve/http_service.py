@@ -9,6 +9,13 @@ recording-shape bucket), exposed over stdlib HTTP:
 
     POST /process   {"processAnimalActivity": "yes"|"no"}  → step-status JSON
                     (the exact radar_processing_with_azure.m:95-99 contract)
+    POST /classify  spectrogram image(s) → label + probability (the
+                    reference's "AI classification through API calls",
+                    README.md:20); body is raw PNG/JPEG bytes
+                    (Content-Type: image/*) or JSON
+                    {"image_b64": "..."} / {"images_b64": ["...", ...]}.
+                    Requires the service to be started with a classifier
+                    artifact (serve --classifier-artifact DIR).
     GET  /healthz   liveness + request counters
     GET  /          service info
 
@@ -31,6 +38,7 @@ from fmcw_radar_processing_tpu.utils.observe import log_event
 
 class _Handler(BaseHTTPRequestHandler):
     service: RadarService = None  # type: ignore[assignment]
+    classifier = None  # SpectrogramClassifier | None
     lock: threading.Lock = None  # type: ignore[assignment]
     stats: dict = None  # type: ignore[assignment]
 
@@ -47,16 +55,25 @@ class _Handler(BaseHTTPRequestHandler):
         if path == "/healthz":
             self._send(200, {"status": "ok", **self.stats})
         elif path == "/":
+            endpoints = {"POST /process": "run the radar chain",
+                         "GET /healthz": "liveness"}
+            if self.classifier is not None:
+                endpoints["POST /classify"] = (
+                    "classify spectrogram image(s): "
+                    f"classes {list(self.classifier.classes)}"
+                )
             self._send(200, {
                 "service": "fmcw-radar-processing-tpu",
-                "endpoints": {"POST /process": "run the radar chain",
-                              "GET /healthz": "liveness"},
+                "endpoints": endpoints,
             })
         else:
             self._send(404, {"status": "error", "message": "not found"})
 
     def do_POST(self) -> None:  # noqa: N802
         path = self.path.split("?", 1)[0]
+        if path == "/classify":
+            self._do_classify()
+            return
         if path != "/process":
             self._send(404, {"status": "error", "message": "not found"})
             return
@@ -82,6 +99,58 @@ class _Handler(BaseHTTPRequestHandler):
         # even on processing errors (the status field carries the outcome).
         self._send(200, result)
 
+    def _do_classify(self) -> None:
+        if self.classifier is None:
+            self._send(503, {
+                "status": "error",
+                "message": "no classifier loaded "
+                           "(start with serve --classifier-artifact DIR)",
+            })
+            return
+        try:
+            n = int(self.headers.get("Content-Length") or 0)
+            body = self.rfile.read(n)
+            ctype = (self.headers.get("Content-Type") or "").split(";")[0]
+            if ctype.startswith("image/"):
+                blobs = [body]
+            else:
+                import base64
+
+                request = json.loads(body or b"{}")
+                if not isinstance(request, dict):
+                    raise ValueError("request body must be a JSON object")
+                if "images_b64" in request:
+                    blobs = [base64.b64decode(s) for s in request["images_b64"]]
+                elif "image_b64" in request:
+                    blobs = [base64.b64decode(request["image_b64"])]
+                else:
+                    raise ValueError(
+                        "provide image bytes (Content-Type: image/*) or "
+                        "JSON with image_b64 / images_b64"
+                    )
+            if not blobs:
+                raise ValueError("no images in request")
+        except (ValueError, json.JSONDecodeError) as e:
+            self._send(400, {"status": "error", "message": f"bad request: {e}"})
+            return
+        t0 = time.perf_counter()
+        try:
+            with self.lock:  # one in-flight accelerator request per process
+                predictions = self.classifier.classify_bytes(blobs)
+        except Exception as e:  # undecodable image, shape mismatch, ...
+            self.stats["errors"] += 1
+            self._send(400, {"status": "error",
+                             "message": f"classification failed: {e}"})
+            return
+        dt = round(time.perf_counter() - t0, 4)
+        self.stats["requests"] += 1
+        log_event("classify_request", images=len(blobs), duration_s=dt)
+        self._send(200, {
+            "status": "success",
+            "classes": list(self.classifier.classes),
+            "predictions": predictions,
+        })
+
     def log_message(self, fmt: str, *args) -> None:
         pass
 
@@ -91,14 +160,23 @@ class RadarHttpService:
 
     def __init__(self, config: HandlerConfig | None = None,
                  port: int = 8060, host: str = "127.0.0.1",
-                 service: RadarService | None = None):
+                 service: RadarService | None = None,
+                 classifier=None, classifier_artifact: str | None = None):
         svc = service or RadarService(config)
+        if classifier is None and classifier_artifact:
+            from fmcw_radar_processing_tpu.models.infer import (
+                SpectrogramClassifier,
+            )
+
+            classifier = SpectrogramClassifier.load(classifier_artifact)
         handler = type("Handler", (_Handler,), {
             "service": svc,
+            "classifier": classifier,
             "lock": threading.Lock(),
             "stats": {"requests": 0, "errors": 0},
         })
         self.service = svc
+        self.classifier = classifier
         self.httpd = ThreadingHTTPServer((host, port), handler)
         self._thread: threading.Thread | None = None
 
