@@ -115,7 +115,10 @@ def main():
     alg = AlgorithmConfig(stft_nfft=nfft)  # production STFT size; hop 1
     cfg = RadarConfig.create(default_device_config(), alg)
 
-    frames_tpu = 16384
+    # 65536 frames ≈ 2.7 h of radar time at 150 ms/frame — a production-size
+    # recording; large enough that the fixed per-dispatch host↔device latency
+    # (~25 ms through the tunneled runtime) stops dominating the metric.
+    frames_tpu = 65536
     rec = synthesize_recording(
         cfg,
         frames_tpu,

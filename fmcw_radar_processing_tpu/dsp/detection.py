@@ -66,7 +66,13 @@ def search_peaks(profile: jax.Array, cfg: RadarConfig) -> DetectionResult:
         & (profile > cfg.algorithm.range_threshold)
     )
     masked = jnp.where(eligible, profile, neg)
-    mag, idx = jax.lax.top_k(masked, cfg.algorithm.max_num_targets)
+    t = cfg.algorithm.max_num_targets
+    if t == 1:
+        # top_k lowers to a sort on TPU; argmax is a plain VPU reduction.
+        idx = jnp.argmax(masked, axis=-1)[..., None]
+        mag = jnp.take_along_axis(masked, idx, axis=-1)
+    else:
+        mag, idx = jax.lax.top_k(masked, t)
     valid = jnp.isfinite(mag)
     return DetectionResult(
         idx=idx.astype(jnp.int32),

@@ -97,6 +97,84 @@ class FastTimeOperator:
         return y - self.offset(calib.astype(jnp.float32))
 
 
+@dataclasses.dataclass(frozen=True)
+class PackedFastTime:
+    """Fast-time operator as ONE real matmul (the HBM-lean formulation).
+
+    The 4-einsum complex contraction (`pair_matmul`) reads the de-interleaved
+    re/im planes separately and re-interleaves the result — several extra
+    passes over the [F, PN, K, 2] tensor. Packing the complex 2×2 block
+    structure into a single [2·NTS, 2·K] real weight keeps the pair layout
+    intact end to end:
+
+        X [rows, 2n+(0|1)] = (re|im) of sample n      (raw reshaped, no copy)
+        W [2n+0, 2k+0] =  M.re[k,n]    W [2n+0, 2k+1] = M.im[k,n]
+        W [2n+1, 2k+0] = −M.im[k,n]    W [2n+1, 2k+1] = M.re[k,n]
+        Y = X @ W  →  Y [rows, 2k+(0|1)] = (re|im) of bin k   (reshape → pair)
+
+    One MXU matmul, one read of X, one write of Y. `profile()` goes further:
+    when only the integrated range profile is needed (detection), the abs-max
+    reduction over chirps fuses into the matmul consumer and the full
+    [F, PN, K, 2] range-FFT tensor is never written to HBM; `rf_at_bins()`
+    then recomputes the few detected bins' chirp rows with a gathered-weight
+    matmul (T·2 columns instead of K·2) — recompute-over-materialize, the
+    standard TPU trade for memory-bound chains.
+    """
+
+    w: np.ndarray  # (2·NTS, 2·K) float32 packed weight
+    nts: int
+    k: int
+
+    @classmethod
+    def create(cls, cfg: RadarConfig) -> "PackedFastTime":
+        m = build_fast_time_matrix(cfg)  # (K, NTS) complex
+        k, nts = m.shape
+        w = np.zeros((2 * nts, 2 * k), np.float32)
+        w[0::2, 0::2] = m.real.T
+        w[0::2, 1::2] = m.imag.T
+        w[1::2, 0::2] = -m.imag.T
+        w[1::2, 1::2] = m.real.T
+        return cls(w=w, nts=nts, k=k)
+
+    def offset(self, calib: jax.Array) -> jax.Array:
+        """M @ calib as a pair [K, 2] (the affine calibration part)."""
+        flat = calib.astype(jnp.float32).reshape(1, 2 * self.nts)
+        return (flat @ jnp.asarray(self.w)).reshape(self.k, 2)
+
+    def rf(self, raw: jax.Array, calib: jax.Array) -> jax.Array:
+        """Full range FFT [..., PN, K, 2] via one matmul."""
+        x = raw.astype(jnp.float32).reshape(*raw.shape[:-2], 2 * self.nts)
+        y = (x @ jnp.asarray(self.w)).reshape(*raw.shape[:-2], self.k, 2)
+        return y - self.offset(calib)
+
+    def profile(self, raw: jax.Array, calib: jax.Array) -> jax.Array:
+        """Integrated range profile [..., K] WITHOUT materializing the
+        range FFT (abs-max over chirps fused into the matmul epilogue —
+        radar_processing.m:205,210 collapsed into one kernel)."""
+        y = self.rf(raw, calib)
+        return jnp.max(
+            jnp.sqrt(y[..., 0] ** 2 + y[..., 1] ** 2), axis=-2
+        )
+
+    def rf_at_bins(
+        self, raw: jax.Array, calib: jax.Array, idx: jax.Array
+    ) -> jax.Array:
+        """Range-FFT chirp rows at selected bins only: [F, PN, T, 2].
+
+        raw: [F, PN, NTS, 2]; idx: [F, T] range-bin indices. Gathers the
+        2·T weight columns per frame (tiny) and recomputes — never touches
+        a [F, PN, K, 2] tensor.
+        """
+        f, t = idx.shape
+        x = raw.astype(jnp.float32).reshape(f, -1, 2 * self.nts)  # [F,PN,2NTS]
+        cols = (idx[..., None] * 2 + jnp.arange(2)).reshape(f, 2 * t)
+        w_sel = jnp.asarray(self.w).T[cols]  # [F, 2T, 2NTS]
+        y = jnp.einsum("fpn,ftn->fpt", x, w_sel)  # [F, PN, 2T]
+        y = y.reshape(f, x.shape[1], t, 2)
+        off = self.offset(calib)[idx]  # [F, T, 2]
+        return y - off[:, None]
+
+
 def range_profile(range_fft: jax.Array) -> jax.Array:
     """Non-coherent integration across chirps (radar_processing.m:210).
 

@@ -22,7 +22,11 @@ import jax.numpy as jnp
 
 from fmcw_radar_processing_tpu.config import RadarConfig
 from fmcw_radar_processing_tpu.dsp.detection import DetectionResult, search_peaks
-from fmcw_radar_processing_tpu.dsp.fast_time import FastTimeOperator, range_profile
+from fmcw_radar_processing_tpu.dsp.fast_time import (
+    FastTimeOperator,
+    PackedFastTime,
+    range_profile,
+)
 from fmcw_radar_processing_tpu.dsp.slow_time import (
     DopplerPeaks,
     SlowTimeOperator,
@@ -30,6 +34,7 @@ from fmcw_radar_processing_tpu.dsp.slow_time import (
     doppler_peaks_at,
     measurements,
 )
+from fmcw_radar_processing_tpu.utils.cplx import pair_matmul
 
 
 class FrameChainOutputs(NamedTuple):
@@ -49,24 +54,32 @@ class FrameChainOutputs(NamedTuple):
 
 
 def make_frame_chain(
-    cfg: RadarConfig, return_range_fft: bool = False, impl: str = "xla"
+    cfg: RadarConfig, return_range_fft: bool = False, impl: str = "fused"
 ):
     """Build the jitted recording chain for a fixed config.
 
     Returns fn(raw [F, PN, NTS, 2], calib [NTS, 2]) -> FrameChainOutputs.
     F is a trace-time constant (one compile per recording length bucket).
 
-    impl: 'xla' (einsum formulation, XLA fuses) or 'pallas' (hand-fused
-    VMEM kernels for the fast-time matmul + profile reduction and the peak
-    search; ops/). Outputs are identical.
+    impl:
+      'fused'  (default) packed single-matmul fast-time with the profile
+               reduction fused into the matmul epilogue; the [F, PN, K, 2]
+               range-FFT tensor is never written to HBM — chirp rows at the
+               T detected bins are recomputed with a gathered-weight matmul
+               (dsp/fast_time.py PackedFastTime).
+      'xla'    einsum formulation, full range-FFT materialized.
+      'pallas' hand-fused VMEM kernels (ops/) for fast-time + peak search.
+    Outputs are identical across impls (tests/test_pallas_chain.py).
     """
-    if impl not in ("xla", "pallas"):
+    if impl not in ("fused", "xla", "pallas"):
         raise ValueError(f"unknown impl {impl!r}")
     ft = FastTimeOperator.create(cfg)
+    pft = PackedFastTime.create(cfg)
     st = SlowTimeOperator.create(cfg)
 
     @jax.jit
     def chain(raw: jax.Array, calib: jax.Array) -> FrameChainOutputs:
+        rf = None
         if impl == "pallas":
             from fmcw_radar_processing_tpu.ops.detect_pallas import (
                 search_peaks_pallas,
@@ -77,19 +90,33 @@ def make_frame_chain(
 
             rf, profile = fast_time_pallas(raw, calib, cfg)
             det = search_peaks_pallas(profile, cfg)
+        elif impl == "fused" and not return_range_fft:
+            profile = pft.profile(raw, calib)  # [F, K], rf never in HBM
+            det = search_peaks(profile, cfg)  # [F, T]
         else:
-            rf = ft(raw, calib)  # [F, PN, K, 2]
+            rf = (pft.rf(raw, calib) if impl == "fused"
+                  else ft(raw, calib))  # [F, PN, K, 2]
             profile = range_profile(rf)  # [F, K]
             det = search_peaks(profile, cfg)  # [F, T]
         # Doppler only at detected bins (radar_processing.m:216-219): T ≪ K,
         # so the full [F, K, D] map is never materialized.
-        rd_rows = doppler_at_bins(st, rf, det.idx)  # [F, T, D, 2]
+        if rf is None:
+            # Recompute the detected bins' chirp rows: [F, PN, T, 2].
+            rf_rows = pft.rf_at_bins(raw, calib, det.idx)
+            rows = jnp.swapaxes(rf_rows, -3, -2)  # [F, T, PN, 2]
+            rd_rows = pair_matmul(
+                rows, jnp.asarray(st.m_re), jnp.asarray(st.m_im),
+                "...tp,dp->...td",
+            )  # [F, T, D, 2]
+            strongest = rf_rows[:, :, 0, :]  # [F, PN, 2]
+        else:
+            rd_rows = doppler_at_bins(st, rf, det.idx)  # [F, T, D, 2]
+            # Chirp row at the strongest detected bin, per frame (:258-259).
+            strongest = jnp.take_along_axis(
+                rf, det.idx[:, 0][:, None, None, None], axis=-2
+            )[..., 0, :]  # [F, PN, 2]
         dop = doppler_peaks_at(rd_rows, cfg)
         meas = measurements(det, dop, cfg)
-        # Chirp row at the strongest detected bin, per frame (:258-259).
-        strongest = jnp.take_along_axis(
-            rf, det.idx[:, 0][:, None, None, None], axis=-2
-        )[..., 0, :]  # [F, PN, 2]
         return FrameChainOutputs(
             waterfall=profile,
             detection=det,

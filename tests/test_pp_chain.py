@@ -43,7 +43,7 @@ def test_pp_chain_matches_unsharded(cfg, rng):
     raw, calib = _inputs(cfg, rng, num_frames=16)
     mesh = make_pp_mesh(8)
     pp = make_pp_frame_chain(cfg, mesh, num_microbatches=2)
-    plain = make_frame_chain(cfg)
+    plain = make_frame_chain(cfg, impl="xla")
     _assert_matches(pp(raw, calib), plain(raw, calib))
 
 
@@ -52,7 +52,7 @@ def test_pp_chain_pure_pipeline(cfg, rng):
     raw, calib = _inputs(cfg, rng, num_frames=12)
     mesh = make_pp_mesh(2)
     pp = make_pp_frame_chain(cfg, mesh, num_microbatches=4)
-    plain = make_frame_chain(cfg)
+    plain = make_frame_chain(cfg, impl="xla")
     _assert_matches(pp(raw, calib), plain(raw, calib))
 
 
@@ -62,7 +62,7 @@ def test_pp_chain_nan_for_undetected(cfg, rng):
     mesh = make_pp_mesh(2)
     pp = make_pp_frame_chain(cfg, mesh, num_microbatches=2)
     out = pp(raw, calib)
-    plain_out = make_frame_chain(cfg)(raw, calib)
+    plain_out = make_frame_chain(cfg, impl="xla")(raw, calib)
     np.testing.assert_array_equal(np.asarray(out.detected),
                                   np.asarray(plain_out.detected))
     mask = ~np.asarray(out.detection.valid).T  # [T, F]

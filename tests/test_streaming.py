@@ -42,7 +42,7 @@ def test_window_split_invariance(cfg, rng):
         [np.asarray(r1.psd[0])[:, :n1], np.asarray(r2.psd[0])[:, :n2]], axis=1
     )
     want = np.asarray(r_full.psd[0])[:, :n_full]
-    np.testing.assert_allclose(got, want, rtol=2e-3, atol=1e-10)
+    np.testing.assert_allclose(got, want, rtol=1e-2, atol=1e-10)
 
     # Per-frame outputs of window 2 match the tail of the full run.
     np.testing.assert_allclose(
@@ -85,7 +85,7 @@ def test_columns_match_numpy_stft(cfg, rng):
         axis=1,
     )
     np.testing.assert_allclose(np.asarray(r.psd[0])[:, :n], want,
-                               rtol=2e-3, atol=1e-10)
+                               rtol=1e-2, atol=1e-10)
 
 
 def test_short_window_carry(cfg, rng):
@@ -108,7 +108,7 @@ def test_short_window_carry(cfg, rng):
     assert sum(ns) == n_full
     got = np.concatenate(cols, axis=1)
     np.testing.assert_allclose(
-        got, np.asarray(r_full.psd[0])[:, :n_full], rtol=2e-3, atol=1e-10
+        got, np.asarray(r_full.psd[0])[:, :n_full], rtol=1e-2, atol=1e-10
     )
 
 
@@ -135,5 +135,5 @@ def test_multichannel_mesh(cfg, rng):
         rs = solo.process_window(raw8[c : c + 1], cal8[c : c + 1])
         assert int(r.col_count[c]) == int(rs.col_count[0])
         np.testing.assert_allclose(
-            np.asarray(r.psd[c]), np.asarray(rs.psd[0]), rtol=2e-3, atol=1e-10
+            np.asarray(r.psd[c]), np.asarray(rs.psd[0]), rtol=1e-2, atol=1e-10
         )
