@@ -43,6 +43,61 @@ def split_dataset(
     return train, val, test
 
 
+def merge_class_folders(
+    sources: Sequence[str], dest: str, *, copy: bool = True,
+) -> list[str]:
+    """Merge several source folders of one class into ``dest`` with
+    collision-free renames (notebook cell 12's combined-folders variant,
+    which merges ``<class>`` and ``<class>_2`` trees via uuid4-renamed
+    copies). Renames here are deterministic — ``<folderidx>_<filename>`` —
+    so splits are reproducible. Returns the merged file list."""
+    os.makedirs(dest, exist_ok=True)
+    merged: list[str] = []
+    for fi, src in enumerate(sources):
+        for fname in sorted(os.listdir(src)):
+            spath = os.path.join(src, fname)
+            if not os.path.isfile(spath):
+                continue
+            out = os.path.join(dest, f"{fi}_{fname}")
+            if copy:
+                import shutil
+
+                shutil.copyfile(spath, out)
+            merged.append(out)
+    return merged
+
+
+def split_dataset_combined_folders(
+    class_sources: dict[str, Sequence[str]],
+    out_root: str,
+    seed: int = 42,
+    fractions: tuple[float, float, float] = (0.7, 0.15, 0.15),
+) -> dict[str, dict[str, list[str]]]:
+    """Cell 12/14 combined: merge each class's source folders, then build a
+    ``out_root/{train,val,test}/<class>/`` tree with a per-class seeded
+    70/15/15 split. Returns {split: {class: [paths]}}."""
+    import shutil
+
+    result: dict[str, dict[str, list[str]]] = {
+        s: {} for s in ("train", "val", "test")
+    }
+    for cname, sources in sorted(class_sources.items()):
+        merged_dir = os.path.join(out_root, "_merged", cname)
+        merged = merge_class_folders(sources, merged_dir)
+        train, val, test = split_dataset(merged, seed=seed, fractions=fractions)
+        for split, files in (("train", train), ("val", val), ("test", test)):
+            sdir = os.path.join(out_root, split, cname)
+            os.makedirs(sdir, exist_ok=True)
+            placed = []
+            for f in files:
+                dst = os.path.join(sdir, os.path.basename(f))
+                shutil.copyfile(f, dst)
+                placed.append(dst)
+            result[split][cname] = placed
+    shutil.rmtree(os.path.join(out_root, "_merged"), ignore_errors=True)
+    return result
+
+
 def load_image(path: str, size=IMAGE_SIZE) -> np.ndarray:
     """Load + resize one RGB image to float32 [0, 1] (rescale=1/255)."""
     from PIL import Image

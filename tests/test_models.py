@@ -1,5 +1,6 @@
 """Classifier: model shapes, augmentation, training convergence, checkpointing."""
 
+import os
 import numpy as np
 import jax
 import jax.numpy as jnp
@@ -154,3 +155,45 @@ def test_classification_report(rng):
         assert 0.0 <= row["f1"] <= 1.0 and row["support"] == 16
     cm = t.confusion_matrix(x, y)
     assert rep["accuracy"] == round(float(np.trace(cm) / cm.sum()), 4)
+
+
+def test_split_dataset_combined_folders(tmp_path):
+    """Cell-12 variant: merge <class> and <class>_2 trees, split 70/15/15
+    into a flow_from_directory tree with collision-free names."""
+    from fmcw_radar_processing_tpu.models.data import (
+        split_dataset_combined_folders,
+    )
+
+    for folder, n in (("human", 10), ("human_2", 10), ("calf", 20)):
+        d = tmp_path / "src" / folder
+        d.mkdir(parents=True)
+        for i in range(n):
+            (d / f"img{i}.png").write_bytes(b"png" + bytes([i]))
+
+    out = tmp_path / "split"
+    res = split_dataset_combined_folders(
+        {
+            "human": [str(tmp_path / "src/human"), str(tmp_path / "src/human_2")],
+            "calf": [str(tmp_path / "src/calf")],
+        },
+        str(out),
+    )
+    for cname in ("human", "calf"):
+        sizes = [len(res[s][cname]) for s in ("train", "val", "test")]
+        assert sum(sizes) == 20
+        assert sizes[0] == 14 and sizes[1] == 3 and sizes[2] == 3
+    # same-named files from the two human folders must not collide
+    names = {os.path.basename(p) for s in res.values() for p in s["human"]}
+    assert len(names) == 20
+    # deterministic re-run
+    res2 = split_dataset_combined_folders(
+        {
+            "human": [str(tmp_path / "src/human"), str(tmp_path / "src/human_2")],
+            "calf": [str(tmp_path / "src/calf")],
+        },
+        str(tmp_path / "split2"),
+    )
+    assert [os.path.basename(p) for p in res["train"]["human"]] == [
+        os.path.basename(p) for p in res2["train"]["human"]
+    ]
+    assert not (out / "_merged").exists()
