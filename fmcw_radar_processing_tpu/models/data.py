@@ -27,10 +27,10 @@ IMAGE_SIZE = (224, 224)
 
 
 def split_dataset(
-    items: Sequence[str], seed: int = 42,
+    items: Sequence, seed: int = 42,
     fractions: tuple[float, float, float] = (0.7, 0.15, 0.15),
 ):
-    """Deterministic 70/15/15 split of one class's file list (cell 14)."""
+    """Deterministic 70/15/15 split of one class's item list (cell 14)."""
     items = list(items)
     rng = np.random.default_rng(seed)
     order = rng.permutation(len(items))
@@ -43,27 +43,28 @@ def split_dataset(
     return train, val, test
 
 
+IMAGE_EXTENSIONS = (".png", ".jpg", ".jpeg")
+
+
 def merge_class_folders(
-    sources: Sequence[str], dest: str, *, copy: bool = True,
-) -> list[str]:
-    """Merge several source folders of one class into ``dest`` with
+    sources: Sequence[str],
+) -> list[tuple[str, str]]:
+    """Merge several source folders of one class into one logical list with
     collision-free renames (notebook cell 12's combined-folders variant,
     which merges ``<class>`` and ``<class>_2`` trees via uuid4-renamed
     copies). Renames here are deterministic — ``<folderidx>_<filename>`` —
-    so splits are reproducible. Returns the merged file list."""
-    os.makedirs(dest, exist_ok=True)
-    merged: list[str] = []
+    so splits are reproducible. Only image files are merged (the notebook
+    filters to .png/.jpg/.jpeg). Returns (source_path, merged_name) pairs;
+    nothing is copied — callers place files directly where they belong."""
+    merged: list[tuple[str, str]] = []
     for fi, src in enumerate(sources):
         for fname in sorted(os.listdir(src)):
             spath = os.path.join(src, fname)
             if not os.path.isfile(spath):
                 continue
-            out = os.path.join(dest, f"{fi}_{fname}")
-            if copy:
-                import shutil
-
-                shutil.copyfile(spath, out)
-            merged.append(out)
+            if not fname.lower().endswith(IMAGE_EXTENSIONS):
+                continue
+            merged.append((spath, f"{fi}_{fname}"))
     return merged
 
 
@@ -75,26 +76,31 @@ def split_dataset_combined_folders(
 ) -> dict[str, dict[str, list[str]]]:
     """Cell 12/14 combined: merge each class's source folders, then build a
     ``out_root/{train,val,test}/<class>/`` tree with a per-class seeded
-    70/15/15 split. Returns {split: {class: [paths]}}."""
+    70/15/15 split. Each image is copied exactly once, straight to its
+    split directory. Any pre-existing train/val/test tree under ``out_root``
+    is removed first (the notebook rmtree-s the split dir before rebuilding)
+    so re-runs with a different seed or source set cannot leave stale files
+    that would leak between train and test. Returns {split: {class: [paths]}}.
+    """
     import shutil
 
+    for split in ("train", "val", "test"):
+        shutil.rmtree(os.path.join(out_root, split), ignore_errors=True)
     result: dict[str, dict[str, list[str]]] = {
         s: {} for s in ("train", "val", "test")
     }
     for cname, sources in sorted(class_sources.items()):
-        merged_dir = os.path.join(out_root, "_merged", cname)
-        merged = merge_class_folders(sources, merged_dir)
+        merged = merge_class_folders(sources)
         train, val, test = split_dataset(merged, seed=seed, fractions=fractions)
         for split, files in (("train", train), ("val", val), ("test", test)):
             sdir = os.path.join(out_root, split, cname)
             os.makedirs(sdir, exist_ok=True)
             placed = []
-            for f in files:
-                dst = os.path.join(sdir, os.path.basename(f))
-                shutil.copyfile(f, dst)
+            for src, merged_name in files:
+                dst = os.path.join(sdir, merged_name)
+                shutil.copyfile(src, dst)
                 placed.append(dst)
             result[split][cname] = placed
-    shutil.rmtree(os.path.join(out_root, "_merged"), ignore_errors=True)
     return result
 
 

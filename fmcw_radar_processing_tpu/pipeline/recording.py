@@ -54,6 +54,11 @@ class RecordingOutputs:
     spectrogram_times: np.ndarray  # (T_stft,)
     spectrogram_freqs: np.ndarray  # (1024,) log-spaced
     spectrogram_intensity: np.ndarray  # (1024, T_stft) dB
+    # Linear-frequency dB PSD — what the reference's PNG renders
+    # (surf(T, F, psd) at radar_processing.m:331-340, BEFORE the
+    # log-frequency rescale that only the JSON consumes).
+    spectrogram_linear_freqs: np.ndarray  # (nb,) uniform one-sided axis
+    spectrogram_psd_db: np.ndarray  # (nb, T_stft) dB
     payloads: dict[str, dict]  # name -> payload dict (4 schemas)
 
 
@@ -99,7 +104,7 @@ class RadarPipeline:
             log_bins, intensity = log_frequency_rescale(
                 res.freqs, db, a.max_freq_bins
             )
-            return res.times, log_bins, intensity, res.frame_valid
+            return res.times, log_bins, intensity, res.freqs, db
 
         return stage, op
 
@@ -130,12 +135,14 @@ class RadarPipeline:
         nfft = a.stft_nfft or next_pow2(count)
         stage, op = self._stft_stage(nfft)
         sig_abs = pair_abs(signal)  # reference: STFT of |slow_time| (:270)
-        times, log_bins, intensity, _ = stage(sig_abs, jnp.asarray(count))
+        times, log_bins, intensity, freqs, db = stage(sig_abs, jnp.asarray(count))
         n_valid = stft_frame_count(count, wl, op.hop)
         return (
             np.asarray(times)[:n_valid],
             np.asarray(log_bins),
             np.asarray(intensity)[:, :n_valid],
+            np.asarray(freqs),
+            np.asarray(db)[:, :n_valid],
         )
 
     def process_recording(
@@ -163,8 +170,10 @@ class RadarPipeline:
             times = np.zeros(0)
             log_bins = np.zeros(cfg.algorithm.max_freq_bins)
             intensity = np.zeros((cfg.algorithm.max_freq_bins, 0))
+            lin_freqs = np.zeros(0)
+            psd = np.zeros((0, 0))
         else:
-            times, log_bins, intensity = spec
+            times, log_bins, intensity, lin_freqs, psd = spec
 
         with tm.stage("payload_build"):
             waterfall = np.asarray(out.waterfall).T  # (K, F)
@@ -195,6 +204,8 @@ class RadarPipeline:
             spectrogram_times=times,
             spectrogram_freqs=log_bins,
             spectrogram_intensity=intensity,
+            spectrogram_linear_freqs=lin_freqs,
+            spectrogram_psd_db=psd,
             payloads=payloads,
         )
 
@@ -228,7 +239,7 @@ class RadarPipeline:
             if spec is None:
                 continue  # :534,601-606 insufficient data — no JSON
             plot_counter += 1
-            times, log_bins, intensity = spec
+            times, log_bins, intensity = spec[:3]
             fname = f"{self.filename}_spectrogram_batch_{b + 1}.json"
             results.append(
                 ActivityBatchOutput(

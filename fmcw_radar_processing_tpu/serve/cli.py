@@ -72,9 +72,11 @@ def cmd_process(args) -> int:
                                pretty=not args.compact_json)
                     print(f"wrote {fname}")
             png = os.path.join(outdir, "spectrogram.png")
+            # Linear-frequency PSD — what surf(T, F, psd) renders
+            # (radar_processing.m:331-340); the JSONs carry the log grid.
             render_spectrogram_png(
-                png, out.spectrogram_times, out.spectrogram_freqs,
-                out.spectrogram_intensity,
+                png, out.spectrogram_times, out.spectrogram_linear_freqs,
+                out.spectrogram_psd_db,
             )
             print(f"wrote {png}")
     if timer is not None:

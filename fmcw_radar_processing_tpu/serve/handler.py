@@ -82,23 +82,27 @@ class RadarService:
             )
         return base
 
-    def _upload_json(self, path: str):
-        if self.config.upload:
-            name = os.path.basename(path)
-            _retry(
-                lambda: self.storage.put(path, name, "application/json"),
-                self.config.retries,
-                self.config.retry_backoff_s,
-            )
+    def _upload_json(self, path: str) -> int:
+        if not self.config.upload:
+            return 0
+        name = os.path.basename(path)
+        _retry(
+            lambda: self.storage.put(path, name, "application/json"),
+            self.config.retries,
+            self.config.retry_backoff_s,
+        )
+        return 1
 
-    def _upload_png(self, path: str):
-        if self.config.upload:
-            name = os.path.basename(path)
-            _retry(
-                lambda: self.storage.put(path, name, "image/png"),
-                self.config.retries,
-                self.config.retry_backoff_s,
-            )
+    def _upload_png(self, path: str) -> int:
+        if not self.config.upload:
+            return 0
+        name = os.path.basename(path)
+        _retry(
+            lambda: self.storage.put(path, name, "image/png"),
+            self.config.retries,
+            self.config.retry_backoff_s,
+        )
+        return 1
 
     def _pipeline_for(self, cfg: RadarConfig) -> RadarPipeline:
         key = (cfg.device, cfg.algorithm)
@@ -106,36 +110,43 @@ class RadarService:
             self._pipelines[key] = RadarPipeline(cfg, filename=self.config.fdata)
         return self._pipelines[key]
 
-    def _process(self, basepath: str, activity: bool) -> list[str]:
+    def _process(self, basepath: str, activity: bool) -> tuple[list[str], int]:
         """Step 2: the signal chain + JSON/PNG export + upload
-        (radar_processing.m:195-436 'no' / :440-607 'yes')."""
+        (radar_processing.m:195-436 'no' / :440-607 'yes').
+
+        Returns (written artifact paths, number actually uploaded)."""
         raw, calib, device = load_recording_for_chain(basepath)
         cfg = RadarConfig.create(device)
         pipe = self._pipeline_for(cfg)
         written: list[str] = []
+        uploaded = 0
         if not activity:
             out = pipe.process_recording(raw, calib)
             for name, payload in out.payloads.items():
                 path = os.path.join(self.config.workdir, name)
                 write_json(path, payload, pretty=self.config.pretty_json)
-                self._upload_json(path)
+                uploaded += self._upload_json(path)
                 written.append(path)
             png = os.path.join(self.config.workdir, "spectrogram.png")
+            # The reference renders surf(T, F, psd) — the LINEAR-frequency
+            # dB PSD (radar_processing.m:331-340); only the JSON payload is
+            # log-frequency rescaled. The classifier's input images depend
+            # on this distinction.
             render_spectrogram_png(
                 png,
                 out.spectrogram_times,
-                out.spectrogram_freqs,
-                out.spectrogram_intensity,
+                out.spectrogram_linear_freqs,
+                out.spectrogram_psd_db,
             )
-            self._upload_png(png)  # :348
+            uploaded += self._upload_png(png)  # :348
             written.append(png)
         else:
             for batch in pipe.process_activity(raw, calib):
                 path = os.path.join(self.config.workdir, batch.filename)
                 write_json(path, batch.payload, pretty=self.config.pretty_json)
-                self._upload_json(path)  # :593
+                uploaded += self._upload_json(path)  # :593
                 written.append(path)
-        return written
+        return written, uploaded
 
     # -------------------- the endpoint --------------------
 
@@ -166,7 +177,7 @@ class RadarService:
 
         t1 = time.perf_counter()
         try:
-            written = self._process(basepath, activity)
+            written, uploaded = self._process(basepath, activity)
             steps.append({
                 "step": "Radar Processing",
                 "status": "success",
@@ -177,13 +188,22 @@ class RadarService:
         except Exception as e:  # :56-66
             return fail("Radar Processing", e, "Failed at radar processing step.")
 
-        # Step 3 records upload success; actual uploads happen inside
-        # processing, exactly as in the reference (:67-85, quirk #7 fixed).
-        steps.append({
-            "step": "Upload JSON",
-            "status": "success",
-            "message": "Processed JSON uploaded to storage.",
-        })
+        # Step 3 reports what actually happened: uploads run inside the
+        # processing step (as in the reference, :67-85, quirk #7 fixed),
+        # so this step truthfully summarizes them rather than claiming an
+        # unconditional success.
+        if self.config.upload:
+            steps.append({
+                "step": "Upload JSON",
+                "status": "success",
+                "message": f"Uploaded {uploaded} artifact(s) to storage.",
+            })
+        else:
+            steps.append({
+                "step": "Upload JSON",
+                "status": "skipped",
+                "message": "Upload disabled; artifacts written locally only.",
+            })
         return {
             "status": "success",
             "message": "All steps completed successfully.",
