@@ -171,6 +171,36 @@ def cmd_train(args) -> int:
     return 0
 
 
+def cmd_classifier_e2e(args) -> int:
+    """Full classifier loop: synth dataset → chain → PNGs → train → report."""
+    from fmcw_radar_processing_tpu.models.experiment import (
+        ExperimentConfig,
+        report_markdown,
+        run_classifier_experiment,
+    )
+    import os
+
+    cfg = ExperimentConfig(
+        images_per_class=args.images_per_class,
+        frames_per_recording=args.frames,
+        model=args.model,
+        epochs=args.epochs,
+        batch_size=args.batch_size,
+        freeze_backbone=args.freeze_backbone,
+        seed=args.seed,
+    )
+    report = run_classifier_experiment(
+        args.out_dir, cfg, reuse_dataset=args.reuse_dataset, log_fn=print
+    )
+    md = report_markdown(report)
+    md_path = args.report or os.path.join(args.out_dir, "report.md")
+    with open(md_path, "w") as f:
+        f.write(md)
+    print(md)
+    print(f"report: {md_path} and {os.path.join(args.out_dir, 'report.json')}")
+    return 0
+
+
 def cmd_classify(args) -> int:
     from fmcw_radar_processing_tpu.models.infer import SpectrogramClassifier
 
@@ -289,6 +319,25 @@ def build_parser() -> argparse.ArgumentParser:
                     help="export a self-describing inference artifact "
                          "(params + meta.json) for classify/serve")
     pt.set_defaults(fn=cmd_train)
+
+    pe = sub.add_parser(
+        "classifier-e2e",
+        help="end-to-end classifier loop: synth dataset -> chain -> PNGs -> "
+             "train -> eval report -> servable artifact",
+    )
+    pe.add_argument("--out-dir", required=True)
+    pe.add_argument("--images-per-class", type=int, default=192)
+    pe.add_argument("--frames", type=int, default=128,
+                    help="frames per synthesized recording")
+    pe.add_argument("--model", choices=["vgg16", "small"], default="small")
+    pe.add_argument("--epochs", type=int, default=10)
+    pe.add_argument("--batch-size", type=int, default=32)
+    pe.add_argument("--freeze-backbone", action="store_true")
+    pe.add_argument("--seed", type=int, default=42)
+    pe.add_argument("--reuse-dataset", action="store_true",
+                    help="skip generation if out_dir/raw already has images")
+    pe.add_argument("--report", help="markdown report path (default out_dir/report.md)")
+    pe.set_defaults(fn=cmd_classifier_e2e)
 
     pcl = sub.add_parser("classify",
                          help="classify spectrogram images with an artifact")
