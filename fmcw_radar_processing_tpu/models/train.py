@@ -220,6 +220,16 @@ class Trainer:
         report["accuracy"] = round(float(np.trace(cm) / max(cm.sum(), 1)), 4)
         return report
 
+    def set_params(self, params):
+        """Replace the model parameters in place (e.g. Keras-imported
+        pretrained weights from models/import_keras.py — the notebook's
+        `VGG16(weights='imagenet')` setup, cell 19). The optimizer state
+        keeps its structure; combined with ``freeze_backbone=True`` this
+        reproduces the reference's transfer learning."""
+        params = jax.tree_util.tree_map(jnp.asarray, params)
+        self.state = self.state.replace(params=params)
+        return self
+
     # ------------- checkpointing (the .h5 save/load equivalent) -------------
 
     def save(self, path: str):

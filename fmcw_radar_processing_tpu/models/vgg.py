@@ -73,11 +73,16 @@ class VGG16(nn.Module):
     """
 
     dtype: jnp.dtype = jnp.bfloat16
+    # Overridable for tiny test instances; layer NAMES keep the standard
+    # block{b}_conv{c} scheme either way, which is what the Keras-h5
+    # importer (models/import_keras.py) maps against.
+    blocks: Sequence[tuple[int, int]] = VGG16_BLOCKS
 
     @nn.compact
     def __call__(self, x, *, train: bool = False):
         x = x.astype(self.dtype)
-        feats = VGGBackbone(dtype=self.dtype, name="backbone")(x)
+        feats = VGGBackbone(blocks=self.blocks, dtype=self.dtype,
+                            name="backbone")(x)
         return BinaryHead(dtype=self.dtype, name="head")(feats, train=train)
 
 

@@ -186,6 +186,7 @@ def cmd_classifier_e2e(args) -> int:
         model=args.model,
         epochs=args.epochs,
         batch_size=args.batch_size,
+        learning_rate=args.lr,
         freeze_backbone=args.freeze_backbone,
         seed=args.seed,
     )
@@ -332,6 +333,9 @@ def build_parser() -> argparse.ArgumentParser:
     pe.add_argument("--model", choices=["vgg16", "small"], default="small")
     pe.add_argument("--epochs", type=int, default=10)
     pe.add_argument("--batch-size", type=int, default=32)
+    pe.add_argument("--lr", type=float, default=1e-4,
+                    help="Adam learning rate (notebook default 1e-4; "
+                         "from-scratch training wants ~1e-3)")
     pe.add_argument("--freeze-backbone", action="store_true")
     pe.add_argument("--seed", type=int, default=42)
     pe.add_argument("--reuse-dataset", action="store_true",
