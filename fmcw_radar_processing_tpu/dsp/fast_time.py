@@ -124,9 +124,19 @@ class PackedFastTime:
     w: np.ndarray  # (2·NTS, 2·K) float32 packed weight
     nts: int
     k: int
+    # MXU input precision for the DFT matmul. float32 (default) is exact;
+    # bfloat16 halves HBM traffic of the dominant operand and doubles MXU
+    # rate — accumulation stays float32 (preferred_element_type), so only
+    # the 8-bit-mantissa quantization of inputs/weights is lost. The
+    # accuracy cost is measured, not guessed: bench.py's matrix records
+    # range-profile SNR per dtype (~40 dB for bf16 — far above the
+    # detection thresholds' needs; use f32 where bit-fidelity matters).
+    compute_dtype: jnp.dtype = jnp.float32
 
     @classmethod
-    def create(cls, cfg: RadarConfig) -> "PackedFastTime":
+    def create(
+        cls, cfg: RadarConfig, compute_dtype: jnp.dtype = jnp.float32
+    ) -> "PackedFastTime":
         m = build_fast_time_matrix(cfg)  # (K, NTS) complex
         k, nts = m.shape
         w = np.zeros((2 * nts, 2 * k), np.float32)
@@ -134,17 +144,36 @@ class PackedFastTime:
         w[0::2, 1::2] = m.imag.T
         w[1::2, 0::2] = -m.imag.T
         w[1::2, 1::2] = m.real.T
-        return cls(w=w, nts=nts, k=k)
+        return cls(w=w, nts=nts, k=k, compute_dtype=compute_dtype)
+
+    def _matmul(self, x: jax.Array) -> jax.Array:
+        """x [..., 2·NTS] @ W, inputs in compute_dtype, f32 accumulate.
+
+        The downcasts are wrapped in ``optimization_barrier``: XLA's
+        excess-precision folding otherwise elides a convert(f32→bf16)
+        feeding an f32-accumulating dot (the operand is silently kept in
+        f32) — measured err vs f32 was exactly 0 without the barrier, i.e.
+        neither the quantization nor the MXU-rate benefit was real.
+        """
+        w = jnp.asarray(self.w)
+        if self.compute_dtype != jnp.float32:
+            x = jax.lax.optimization_barrier(x.astype(self.compute_dtype))
+            w = jax.lax.optimization_barrier(w.astype(self.compute_dtype))
+        return jnp.matmul(x, w, preferred_element_type=jnp.float32)
 
     def offset(self, calib: jax.Array) -> jax.Array:
-        """M @ calib as a pair [K, 2] (the affine calibration part)."""
+        """M @ calib as a pair [K, 2] (the affine calibration part).
+
+        Always float32 — it is a single [1, 2K] vector; quantizing it
+        would bias every bin for zero bandwidth savings.
+        """
         flat = calib.astype(jnp.float32).reshape(1, 2 * self.nts)
         return (flat @ jnp.asarray(self.w)).reshape(self.k, 2)
 
     def rf(self, raw: jax.Array, calib: jax.Array) -> jax.Array:
         """Full range FFT [..., PN, K, 2] via one matmul."""
         x = raw.astype(jnp.float32).reshape(*raw.shape[:-2], 2 * self.nts)
-        y = (x @ jnp.asarray(self.w)).reshape(*raw.shape[:-2], self.k, 2)
+        y = self._matmul(x).reshape(*raw.shape[:-2], self.k, 2)
         return y - self.offset(calib)
 
     def profile(self, raw: jax.Array, calib: jax.Array) -> jax.Array:

@@ -68,13 +68,21 @@ def make_frame_chain(
                T detected bins are recomputed with a gathered-weight matmul
                (dsp/fast_time.py PackedFastTime).
       'xla'    einsum formulation, full range-FFT materialized.
+      'fused_bf16'  fused with bfloat16 MXU inputs (f32 accumulate) — 2×
+               MXU rate and half the weight/input HBM traffic; accuracy
+               delta recorded by bench.py's SNR column.
       'pallas' hand-fused VMEM kernels (ops/) for fast-time + peak search.
-    Outputs are identical across impls (tests/test_pallas_chain.py).
+      'pallas_profile'  profile-only Pallas fast-time kernel (the range-FFT
+               cube never reaches HBM) + XLA peak search.
+    Outputs are identical across impls (tests/test_pallas_chain.py); the
+    bf16 variant is identical up to input quantization (~40 dB SNR).
     """
-    if impl not in ("fused", "xla", "pallas"):
+    if impl not in ("fused", "xla", "pallas", "pallas_profile", "fused_bf16"):
         raise ValueError(f"unknown impl {impl!r}")
     ft = FastTimeOperator.create(cfg)
-    pft = PackedFastTime.create(cfg)
+    pft = PackedFastTime.create(
+        cfg, jnp.bfloat16 if impl == "fused_bf16" else jnp.float32
+    )
     st = SlowTimeOperator.create(cfg)
 
     @jax.jit
@@ -90,12 +98,19 @@ def make_frame_chain(
 
             rf, profile = fast_time_pallas(raw, calib, cfg)
             det = search_peaks_pallas(profile, cfg)
-        elif impl == "fused" and not return_range_fft:
+        elif impl == "pallas_profile" and not return_range_fft:
+            from fmcw_radar_processing_tpu.ops.fast_time_pallas import (
+                fast_time_profile_pallas,
+            )
+
+            profile = fast_time_profile_pallas(raw, calib, cfg)
+            det = search_peaks(profile, cfg)
+        elif impl in ("fused", "fused_bf16", "pallas_profile") and not return_range_fft:
             profile = pft.profile(raw, calib)  # [F, K], rf never in HBM
             det = search_peaks(profile, cfg)  # [F, T]
         else:
-            rf = (pft.rf(raw, calib) if impl == "fused"
-                  else ft(raw, calib))  # [F, PN, K, 2]
+            rf = (ft(raw, calib) if impl == "xla"
+                  else pft.rf(raw, calib))  # [F, PN, K, 2]
             profile = range_profile(rf)  # [F, K]
             det = search_peaks(profile, cfg)  # [F, T]
         # Doppler only at detected bins (radar_processing.m:216-219): T ≪ K,

@@ -24,3 +24,36 @@ def test_pallas_pipeline_matches_xla(cfg, rng):
     np.testing.assert_allclose(
         pal.spectrogram_intensity, xla.spectrogram_intensity, atol=2e-2
     )
+
+
+def test_profile_only_pallas_pipeline_matches_xla(cfg, rng):
+    frames, calib = _mixed_recording(cfg, rng, f=12)
+    xla = RadarPipeline(cfg, impl="xla").process_recording(
+        _tpu_layout(frames), calib
+    )
+    pp = RadarPipeline(cfg, impl="pallas_profile").process_recording(
+        _tpu_layout(frames), calib
+    )
+    np.testing.assert_array_equal(pp.detected, xla.detected)
+    np.testing.assert_allclose(pp.waterfall, xla.waterfall, rtol=1e-5, atol=1e-3)
+    np.testing.assert_allclose(pp.target_range, xla.target_range, rtol=1e-6)
+    np.testing.assert_allclose(pp.target_speed, xla.target_speed,
+                               rtol=1e-6, atol=1e-7)
+
+
+def test_bf16_pipeline_detections_match_f32(cfg, rng):
+    """fused_bf16: detections and measurements identical on well-separated
+    targets; waterfall within bf16 quantization error."""
+    frames, calib = _mixed_recording(cfg, rng, f=12)
+    f32 = RadarPipeline(cfg, impl="fused").process_recording(
+        _tpu_layout(frames), calib
+    )
+    b16 = RadarPipeline(cfg, impl="fused_bf16").process_recording(
+        _tpu_layout(frames), calib
+    )
+    np.testing.assert_array_equal(b16.detected, f32.detected)
+    np.testing.assert_allclose(b16.target_range, f32.target_range, rtol=1e-6)
+    err = np.linalg.norm(b16.waterfall - f32.waterfall) / max(
+        np.linalg.norm(f32.waterfall), 1e-30
+    )
+    assert -20 * np.log10(max(err, 1e-30)) > 30.0

@@ -40,6 +40,43 @@ def test_fast_time_kernel_non_divisible_frames(cfg, rng):
     np.testing.assert_allclose(np.asarray(got), want, rtol=1e-5, atol=1e-2)
 
 
+def test_profile_only_kernel_matches_xla(cfg, rng):
+    """fast_time_profile_pallas: same profile, no rf output at all."""
+    from fmcw_radar_processing_tpu.ops.fast_time_pallas import (
+        fast_time_profile_pallas,
+    )
+
+    raw, calib = _pair_inputs(cfg, rng, f=9)  # non-divisible group too
+    op = FastTimeOperator.create(cfg)
+    want = np.asarray(range_profile(op(raw, calib)))
+    got = fast_time_profile_pallas(raw, calib, cfg, interpret=True)
+    assert got.shape == want.shape
+    np.testing.assert_allclose(np.asarray(got), want, rtol=1e-5, atol=1e-2)
+    # Larger group (weight-reuse variant) must agree too.
+    got32 = fast_time_profile_pallas(raw, calib, cfg, interpret=True, group=32)
+    np.testing.assert_allclose(np.asarray(got32), want, rtol=1e-5, atol=1e-2)
+
+
+def test_packed_bf16_profile_close_to_f32(cfg, rng):
+    """bfloat16 MXU inputs: f32-accumulated profile within quantization SNR."""
+    from fmcw_radar_processing_tpu.dsp.fast_time import PackedFastTime
+
+    raw, calib = _pair_inputs(cfg, rng, f=8)
+    f32 = np.asarray(PackedFastTime.create(cfg).profile(raw, calib))
+    b16 = np.asarray(
+        PackedFastTime.create(cfg, jnp.bfloat16).profile(raw, calib)
+    )
+    assert b16.dtype == np.float32  # accumulation/output stays f32
+    err = np.linalg.norm(b16 - f32) / np.linalg.norm(f32)
+    # err must be NONZERO: zero error means XLA's excess-precision folding
+    # elided the bf16 downcast and the operands silently stayed f32 (no
+    # quantization AND no MXU-rate benefit) — the optimization_barrier in
+    # PackedFastTime._matmul exists precisely to prevent that.
+    assert err > 1e-7, "bf16 cast was folded away — operands stayed f32"
+    snr_db = -20 * np.log10(err)
+    assert snr_db > 30.0, f"bf16 profile SNR too low: {snr_db:.1f} dB"
+
+
 def test_detect_kernel_matches_xla(cfg, rng):
     raw, calib = _pair_inputs(cfg, rng, f=12)
     op = FastTimeOperator.create(cfg)
