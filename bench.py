@@ -1,23 +1,75 @@
 """Benchmark: IQ frames/sec/chip on the full radar chain.
 
-Measures the end-to-end per-recording pipeline (fast-time range FFT →
-detection → Doppler FFT → measurements → slow-time packing → STFT PSD →
-log-frequency rescale) on the available accelerator, and compares against
-the reference-semantics serial NumPy oracle on CPU (the stand-in for the
-reference's MATLAB loop — the reference publishes no throughput numbers,
+Default mode prints ONE JSON line {"metric", "value", "unit",
+"vs_baseline"} — the headline batched-replay throughput vs the
+reference-semantics serial NumPy oracle on CPU (the stand-in for the
+reference's MATLAB loop; the reference publishes no throughput numbers,
 BASELINE.md).
 
-Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+``--matrix`` runs the full benchmark matrix over BASELINE.json's five
+configs plus a literal-fidelity STFT line, with implementation variants
+(xla / fused / fused_bf16 / pallas / pallas_profile) on the batched-replay
+config, and per-row estimated FLOPs, TFLOP/s, MFU against the chip's peak,
+and output SNR vs the MATLAB-semantics oracle. Results go to
+BENCH_MATRIX.json and a printed table (VERDICT r1 items 3/4/10).
 """
 
 from __future__ import annotations
 
+import argparse
 import json
 import sys
 import time
 
 
-def bench_tpu(cfg, raw, calib, iters: int = 5) -> float:
+# Peak MXU throughput by device kind (dense, per chip). MFU is reported
+# against the bf16 peak for every row — f32 matmuls cannot exceed it, so
+# the figure is conservative and comparable across dtypes.
+PEAK_FLOPS = {
+    "TPU v5 lite": 197e12,  # v5e bf16 peak (public spec, ~197 TFLOP/s)
+    "TPU v4": 275e12,
+    "TPU v5p": 459e12,
+    "TPU v6 lite": 918e12,
+}
+
+
+def chip_peak_flops() -> float | None:
+    import jax
+
+    kind = jax.devices()[0].device_kind
+    for name, peak in PEAK_FLOPS.items():
+        if kind.startswith(name):
+            return peak
+    return None
+
+
+# ---------------------------------------------------------------------------
+# FLOPs model (per frame) — analytic, from the operator shapes.
+# ---------------------------------------------------------------------------
+
+def chain_flops_per_frame(cfg, stft_nfft: int, with_rescale: bool = True) -> float:
+    """Matmul FLOPs of the production chain per frame (f32 ops counted as
+    2·M·N·K per matmul; elementwise/reduction epilogues are negligible)."""
+    pn, nts, k = cfg.pn, cfg.nts, cfg.range_fft_size
+    d = cfg.doppler_fft_size
+    t = cfg.algorithm.max_num_targets
+    nb = stft_nfft // 2 + 1
+    wl = cfg.algorithm.stft_window_length
+    fast_time = 2.0 * pn * (2 * nts) * (2 * k)  # packed DFT matmul
+    rf_rows = 2.0 * pn * (2 * nts) * (2 * t)  # detected-bin recompute
+    doppler = 2.0 * t * (2 * pn) * (2 * d)
+    stft = pn * 2 * (2.0 * nb * wl)  # PN new columns/frame, re+im matmuls
+    rescale = pn * (2.0 * cfg.algorithm.max_freq_bins * nb) if with_rescale else 0.0
+    return fast_time + rf_rows + doppler + stft + rescale
+
+
+# ---------------------------------------------------------------------------
+# Timed pipelines. All use the scalar-fingerprint D2H sync: on tunneled TPU
+# runtimes block_until_ready can return before remote execution finishes and
+# bulk D2H bandwidth is not part of the kernel-time metric.
+# ---------------------------------------------------------------------------
+
+def _make_full(cfg, impl: str, nfft: int):
     import jax
     import jax.numpy as jnp
 
@@ -32,12 +84,11 @@ def bench_tpu(cfg, raw, calib, iters: int = 5) -> float:
     )
     from fmcw_radar_processing_tpu.utils.cplx import pair_abs
 
-    f = raw.shape[0]
-    chain = make_frame_chain(cfg)
+    chain = make_frame_chain(cfg, impl=impl)
     op = StftOperator.create(
         window_length=cfg.algorithm.stft_window_length,
         beta=cfg.algorithm.stft_kaiser_beta,
-        nfft=cfg.algorithm.stft_nfft,
+        nfft=nfft,
         fs=1.0 / cfg.derived.prt,
         hop=cfg.algorithm.stft_hop or 1,
     )
@@ -50,10 +101,6 @@ def bench_tpu(cfg, raw, calib, iters: int = 5) -> float:
         db = psd_db(res)
         _, intensity = log_frequency_rescale(res.freqs, db,
                                              cfg.algorithm.max_freq_bins)
-        # Scalar fingerprint of every output: forces full evaluation while
-        # keeping the host transfer to 4 bytes. (On tunneled TPU runtimes
-        # block_until_ready can return before remote execution finishes and
-        # bulk D2H bandwidth is not part of the kernel-time metric.)
         fin = jnp.where(jnp.isfinite(intensity), intensity, 0.0)
         return (
             jnp.sum(out.waterfall)
@@ -62,15 +109,27 @@ def bench_tpu(cfg, raw, calib, iters: int = 5) -> float:
             + jnp.sum(fin)
         )
 
-    raw_d = jnp.asarray(raw)
-    calib_d = jnp.asarray(calib)
-    float(full(raw_d, calib_d))  # warmup/compile
-    times = []
+    return full
+
+
+def _time_call(fn, args, iters: int = 5) -> float:
+    """Min wall time of fn(*args) with a scalar D2H sync."""
+    float(fn(*args))  # warmup/compile
+    best = float("inf")
     for _ in range(iters):
         t0 = time.perf_counter()
-        float(full(raw_d, calib_d))  # scalar D2H = sync point
-        times.append(time.perf_counter() - t0)
-    return f / min(times)
+        float(fn(*args))
+        best = min(best, time.perf_counter() - t0)
+    return best
+
+
+def bench_tpu(cfg, raw, calib, iters: int = 5, impl: str = "fused",
+              nfft: int = 256) -> float:
+    import jax.numpy as jnp
+
+    full = _make_full(cfg, impl, nfft)
+    dt = _time_call(full, (jnp.asarray(raw), jnp.asarray(calib)), iters)
+    return raw.shape[0] / dt
 
 
 def bench_cpu_oracle(cfg, raw_matlab, calib, nfft: int) -> float:
@@ -96,9 +155,225 @@ def bench_cpu_oracle(cfg, raw_matlab, calib, nfft: int) -> float:
     return f / dt
 
 
-def main():
+# ---------------------------------------------------------------------------
+# SNR vs the MATLAB-semantics oracle.
+# ---------------------------------------------------------------------------
+
+def _snr_db(got, want) -> float:
+    import numpy as np
+
+    got = np.asarray(got, np.float64)
+    want = np.asarray(want, np.float64)
+    err = np.linalg.norm(got - want)
+    ref = np.linalg.norm(want)
+    if err == 0.0:
+        return float("inf")
+    return float(-20.0 * np.log10(err / max(ref, 1e-300)))
+
+
+def snr_vs_oracle(cfg, rec, impl: str, nfft: int, f: int = 256) -> dict:
+    """Chain+spectrogram SNR against tests/oracle.py on an f-frame subset."""
     import dataclasses
 
+    import numpy as np
+
+    from fmcw_radar_processing_tpu.pipeline.recording import RadarPipeline
+    from tests.oracle import (
+        log_rescale_oracle,
+        process_recording_oracle,
+        psd_db_oracle,
+        spectrogram_oracle,
+    )
+
+    raw = rec.rx1_pair()[:f]
+    calib = rec.calib_pair(0, cfg.nts)
+    cfg_nfft = dataclasses.replace(
+        cfg, algorithm=dataclasses.replace(cfg.algorithm, stft_nfft=nfft)
+    )
+    pipe = RadarPipeline(cfg_nfft, impl=impl)
+    out = pipe.process_recording(raw, calib)
+
+    raw_matlab = np.swapaxes(rec.rx1()[:f], -1, -2)
+    res = process_recording_oracle(raw_matlab, rec.calib_vector(0, cfg.nts), cfg)
+    iq = np.abs(res.slow_time_signal)
+    freqs, _, p = spectrogram_oracle(iq, 1.0 / cfg.derived.prt, nfft=nfft)
+    db = psd_db_oracle(p)
+    _, want_intensity = log_rescale_oracle(freqs, db)
+
+    t = min(out.spectrogram_intensity.shape[1], want_intensity.shape[1])
+    floor = -1000.0  # dsp/stft.DB_FLOOR stands in for the oracle's -inf
+    return {
+        "waterfall_snr_db": round(
+            _snr_db(out.waterfall, res.waterfall), 1
+        ),
+        "spectrogram_snr_db": round(
+            _snr_db(
+                np.maximum(out.spectrogram_intensity[:, :t], floor),
+                np.maximum(want_intensity[:, :t], floor),
+            ),
+            1,
+        ),
+        "range_exact": bool(
+            np.array_equal(
+                np.nan_to_num(out.target_range), np.nan_to_num(res.range)
+            )
+        ),
+    }
+
+
+# ---------------------------------------------------------------------------
+# Matrix
+# ---------------------------------------------------------------------------
+
+def run_matrix(quick: bool = False) -> list[dict]:
+    import dataclasses
+
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from fmcw_radar_processing_tpu.config import (
+        AlgorithmConfig,
+        RadarConfig,
+        default_device_config,
+    )
+    from fmcw_radar_processing_tpu.config.radar import next_pow2
+    from fmcw_radar_processing_tpu.io.synth import (
+        SyntheticTarget,
+        synthesize_recording,
+    )
+
+    nfft = 256
+    cfg = RadarConfig.create(default_device_config(),
+                             AlgorithmConfig(stft_nfft=nfft))
+    peak = chip_peak_flops()
+    backend = jax.devices()[0].device_kind
+    targets = (
+        SyntheticTarget(range_m=7.5, doppler_bin_offset=3,
+                        md_phase_rad=1.0, md_rate_hz=40.0),
+        SyntheticTarget(range_m=16.9, doppler_bin_offset=-2, amplitude=2.5),
+    )
+    f_big = 4096 if quick else 65536
+    rec = synthesize_recording(cfg, f_big, targets, seed=0)
+    raw_all = rec.rx1_pair()
+    calib = rec.calib_pair(0, cfg.nts)
+    rows: list[dict] = []
+    fpf = chain_flops_per_frame(cfg, nfft)
+
+    def add(config, impl, fps, flops_per_frame, extra=None):
+        tf = fps * flops_per_frame
+        row = {
+            "config": config,
+            "impl": impl,
+            "frames_per_s": round(fps, 1),
+            "est_mflop_per_frame": round(flops_per_frame / 1e6, 3),
+            "tflops": round(tf / 1e12, 3),
+            "mfu_pct": round(100 * tf / peak, 3) if peak else None,
+        }
+        row.update(extra or {})
+        rows.append(row)
+        print(json.dumps(row), flush=True)
+
+    # -- BASELINE config 1: single synthetic IQ frame, fast-time + magnitude
+    from fmcw_radar_processing_tpu.dsp.fast_time import PackedFastTime
+
+    pft = PackedFastTime.create(cfg)
+
+    @jax.jit
+    def single_ft(raw_d, calib_d):
+        return jnp.sum(pft.profile(raw_d, calib_d))
+
+    one = jnp.asarray(raw_all[:1])
+    dt = _time_call(single_ft, (one, jnp.asarray(calib)))
+    add("1_single_frame_fast_time", "fused", 1.0 / dt,
+        2.0 * cfg.pn * 2 * cfg.nts * 2 * cfg.range_fft_size,
+        {"latency_us": round(dt * 1e6, 1)})
+
+    # -- BASELINE config 2: full single-frame chain -> range-speed
+    from fmcw_radar_processing_tpu.pipeline.frame_chain import make_frame_chain
+
+    chain1 = make_frame_chain(cfg)
+
+    @jax.jit
+    def single_full(raw_d, calib_d):
+        out = chain1(raw_d, calib_d)
+        return (jnp.sum(out.waterfall)
+                + jnp.sum(jnp.nan_to_num(out.range))
+                + jnp.sum(jnp.nan_to_num(out.speed)))
+
+    dt = _time_call(single_full, (one, jnp.asarray(calib)))
+    add("2_single_frame_full_chain", "fused", 1.0 / dt,
+        chain_flops_per_frame(cfg, nfft, with_rescale=False),
+        {"latency_us": round(dt * 1e6, 1)})
+
+    # -- BASELINE config 3: multi-frame STFT spectrogram
+    f_mid = min(4096, f_big)
+    fps = bench_tpu(cfg, raw_all[:f_mid], calib, nfft=nfft)
+    add("3_multi_frame_stft", "fused", fps, fpf)
+
+    # -- BASELINE config 4: batched recording replay x impls + SNR
+    impls = ("xla", "fused", "fused_bf16", "pallas", "pallas_profile")
+    for impl in impls:
+        fps = bench_tpu(cfg, raw_all, calib, impl=impl, nfft=nfft)
+        extra = {"frames": f_big}
+        try:
+            extra.update(snr_vs_oracle(cfg, rec, impl, nfft))
+        except Exception as e:  # oracle comparison must never kill the bench
+            extra["snr_error"] = repr(e)
+        add("4_batched_replay", impl, fps, fpf, extra)
+
+    # -- BASELINE config 5: streaming 8-channel
+    from fmcw_radar_processing_tpu.pipeline.streaming import StreamingProcessor
+
+    c, wf = 8, 256
+    sp = StreamingProcessor(cfg, channels=c, window_frames=wf, nfft=nfft)
+    # Device-resident inputs: a deployed streaming system feeds from device
+    # buffers; including the tunnel's host->device upload would measure the
+    # test harness's network, not the chip.
+    raw_c = jax.device_put(
+        np.broadcast_to(raw_all[:wf], (c, wf, cfg.pn, cfg.nts, 2)).copy()
+    )
+    calib_c = jax.device_put(np.broadcast_to(calib, (c, cfg.nts, 2)).copy())
+    sp.process_window(raw_c, calib_c)  # warmup/compile
+    best = float("inf")
+    for _ in range(5):
+        t0 = time.perf_counter()
+        out = sp.process_window(raw_c, calib_c)
+        float(jnp.sum(out.psd) + jnp.sum(out.waterfall))  # scalar D2H sync
+        best = min(best, time.perf_counter() - t0)
+    add("5_streaming_8ch", "fused", c * wf / best, fpf,
+        {"channels": c, "window_frames": wf})
+
+    # -- Fidelity mode: literal reference STFT (hop 1, nfft = 2^nextpow2(L))
+    f_fid = 1024 if not quick else 256
+    l_fid = f_fid * cfg.pn
+    nfft_fid = next_pow2(l_fid)
+    cfg_fid = RadarConfig.create(default_device_config(), AlgorithmConfig())
+    fps_fid = bench_tpu(cfg_fid, raw_all[:f_fid], calib, nfft=nfft_fid)
+    fps_prod = bench_tpu(cfg, raw_all[:f_fid], calib, nfft=nfft)
+    add("6_fidelity_stft_nextpow2", "fused", fps_fid,
+        chain_flops_per_frame(cfg_fid, nfft_fid),
+        {"frames": f_fid, "nfft": nfft_fid,
+         "fidelity_cost_x": round(fps_prod / fps_fid, 2)})
+
+    meta = {
+        "device_kind": backend,
+        "peak_flops_assumed": peak,
+        "note": "MFU against bf16 peak for all rows (f32 rows cannot exceed "
+                "it; conservative and cross-dtype comparable)",
+    }
+    return [{"meta": meta}] + rows
+
+
+def main_matrix(quick: bool) -> int:
+    rows = run_matrix(quick=quick)
+    with open("BENCH_MATRIX.json", "w") as f:
+        json.dump(rows, f, indent=2)
+    print(f"wrote BENCH_MATRIX.json ({len(rows) - 1} rows)")
+    return 0
+
+
+def main():
     import numpy as np
 
     from fmcw_radar_processing_tpu.config import (
@@ -132,7 +407,7 @@ def main():
     raw = rec.rx1_pair()  # [F, PN, NTS, 2]
     calib = rec.calib_pair(0, cfg.nts)
 
-    fps_tpu = bench_tpu(cfg, raw, calib)
+    fps_tpu = bench_tpu(cfg, raw, calib, nfft=nfft)
 
     # CPU oracle on a subset, extrapolated linearly (the oracle is a serial
     # per-frame loop; its cost is linear in frames).
@@ -153,4 +428,10 @@ def main():
 
 
 if __name__ == "__main__":
-    sys.exit(main())
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--matrix", action="store_true",
+                    help="run the full benchmark matrix -> BENCH_MATRIX.json")
+    ap.add_argument("--quick", action="store_true",
+                    help="smaller sizes (CI smoke)")
+    args = ap.parse_args()
+    sys.exit(main_matrix(args.quick) if args.matrix else main())

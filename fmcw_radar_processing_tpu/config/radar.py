@@ -77,6 +77,19 @@ class AlgorithmConfig:
     max_freq_bins: int = 1024  # log-frequency output bins, :293
     batch_size: int = 100  # activity-mode frames per batch, :189
     max_plots: int = 4  # activity-mode spectrogram cap, :443
+    # --- literal-compat flags (SURVEY Appendix A; default = intent) ---
+    # Quirk #1: the 'no' branch writes target_measurements.(fr_idx, j) into
+    # arrays preallocated zeros(T, F) (radar_processing.m:157-159 vs
+    # :245-250) — MATLAB silently grows them, leaving measurements in
+    # COLUMN j with zeros (not NaN) elsewhere. True replicates that literal
+    # layout in the range_speed payload for byte-parity with a MATLAB run.
+    compat_transposed_measurements: bool = False
+    # Quirk #2: the fft_data snapshot indexes the 3-D (K, PN, F) FFT cube
+    # with 2 subscripts (radar_processing.m:410-411) — MATLAB column-linear
+    # indexing returns CHIRP #100 overall (frame 7, chirp 4 at PN=16), raw
+    # complex column, not the frame-100 integrated profile. True replicates
+    # the literal chirp column.
+    compat_linear_index_snapshot: bool = False
 
 
 @dataclasses.dataclass(frozen=True)

@@ -77,7 +77,11 @@ class RadarPipeline:
     """Compiled recording pipelines for a fixed RadarConfig."""
 
     def __init__(self, cfg: RadarConfig, filename: str = "radar_data",
-                 impl: str = "xla"):
+                 impl: str = "fused"):
+        # Default impl measured fastest on-chip across the bench matrix
+        # (BENCH_MATRIX.json: fused 736k frames/s vs xla 588k, pallas 601k,
+        # pallas_profile 726k at 65536 frames) — XLA's fusion of the packed
+        # matmul + profile epilogue already avoids the rf HBM round-trip.
         self.cfg = cfg
         self.filename = filename
         self._chain = make_frame_chain(cfg, impl=impl)
@@ -180,6 +184,9 @@ class RadarPipeline:
             t_range = np.asarray(out.range)
             t_speed = np.asarray(out.speed)
             t_strength = np.asarray(out.strength)
+            literal_mag = None
+            if cfg.algorithm.compat_linear_index_snapshot:
+                literal_mag = self._literal_snapshot_magnitude(raw, calib)
 
         payloads = {
             "spectrogram_data.json": spectrogram_payload(
@@ -192,7 +199,8 @@ class RadarPipeline:
                 t_range, t_speed, cfg, self.filename
             ),
             f"{self.filename}_fft_data.json": fft_snapshot_payload(
-                waterfall, cfg, self.filename
+                waterfall, cfg, self.filename,
+                literal_chirp_magnitude=literal_mag,
             ),
         }
         return RecordingOutputs(
@@ -208,6 +216,30 @@ class RadarPipeline:
             spectrogram_psd_db=psd,
             payloads=payloads,
         )
+
+    def _literal_snapshot_magnitude(
+        self, raw: np.ndarray, calib: np.ndarray, chirp_1based: int = 100
+    ) -> np.ndarray:
+        """Quirk #2 literal value (compat_linear_index_snapshot):
+        |range FFT| of chirp #``chirp_1based`` overall — what MATLAB
+        column-linear indexing of the (K, PN, F) cube returns for
+        ``range_tx1rx1_complete(:, 100)`` (radar_processing.m:410-411).
+        Recomputed for the one owning frame via the packed operator (the
+        cube itself is never materialized)."""
+        from fmcw_radar_processing_tpu.dsp.fast_time import PackedFastTime
+        from fmcw_radar_processing_tpu.utils.cplx import pair_abs, to_pair
+
+        cfg = self.cfg
+        if np.iscomplexobj(raw) or raw.ndim == 3:
+            raw = to_pair(np.asarray(raw))
+        if np.iscomplexobj(calib) or calib.ndim == 1:
+            calib = to_pair(np.asarray(calib))
+        f = raw.shape[0]
+        lin = min(chirp_1based - 1, f * cfg.pn - 1)  # 0-based, clamped
+        fr, ch = lin // cfg.pn, lin % cfg.pn
+        pft = PackedFastTime.create(cfg)
+        rf = pft.rf(jnp.asarray(raw[fr : fr + 1]), jnp.asarray(calib))
+        return np.asarray(pair_abs(rf[0, ch]))  # [K]
 
     def process_activity(
         self, raw: np.ndarray, calib: np.ndarray

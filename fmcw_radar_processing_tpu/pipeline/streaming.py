@@ -11,9 +11,14 @@ This module processes windows of frames from C channels at once:
     window_length−1 packed slow-time samples across window boundaries, so
     spectrogram columns are seamless across windows (the temporal analog of
     the spatial halo exchange in parallel/sharded_stft.py);
-  * per-window PSD is normalized per window (a causal stand-in for the
-    reference's whole-recording max, radar_processing.m:282 — a streaming
-    system cannot see the future global max).
+  * dB normalization (radar_processing.m:282-283 normalizes by the
+    whole-recording max — which a streaming system cannot see) comes in
+    three modes: ``per_window`` (causal, each window by its own max),
+    ``running_max`` (causal, by the max seen so far — converges to the
+    reference's global max once the loudest event has passed), and the
+    offline :func:`normalize_two_pass` helper that exactly recovers the
+    reference's global-max semantics from collected window PSDs. The
+    divergence between modes is quantified in tests/test_streaming.py.
 """
 
 from __future__ import annotations
@@ -28,7 +33,7 @@ import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from fmcw_radar_processing_tpu.config import RadarConfig
-from fmcw_radar_processing_tpu.dsp.stft import StftOperator
+from fmcw_radar_processing_tpu.dsp.stft import DB_FLOOR, StftOperator
 from fmcw_radar_processing_tpu.parallel.mesh import DATA_AXIS
 from fmcw_radar_processing_tpu.pipeline.frame_chain import (
     make_frame_chain,
@@ -46,6 +51,8 @@ class StreamingWindowResult(NamedTuple):
     strength: jax.Array  # [C, T, F]
     detected: jax.Array  # [C, F]
     psd: jax.Array  # [C, nb, Lcap] linear PSD, zero past col_count
+    psd_db: jax.Array  # [C, nb, Lcap] dB per db_mode (floor past col_count)
+    norm_power: jax.Array  # [C] the power each channel was normalized by
     col_count: jax.Array  # [C] valid STFT columns this window
     carry: jax.Array  # [C, W-1] next window's carry (opaque state)
 
@@ -62,8 +69,15 @@ class StreamingProcessor:
     window_frames: int
     mesh: Mesh | None = None
     nfft: int = 256
+    # dB normalization mode: 'per_window' normalizes each window by its own
+    # max power; 'running_max' by the max power seen so far on the channel
+    # (carried across windows; converges to the reference's global max,
+    # radar_processing.m:282, once the loudest event has passed).
+    db_mode: str = "per_window"
 
     def __post_init__(self):
+        if self.db_mode not in ("per_window", "running_max"):
+            raise ValueError(f"unknown db_mode {self.db_mode!r}")
         cfg = self.cfg
         a = cfg.algorithm
         self._wl = a.stft_window_length
@@ -77,8 +91,9 @@ class StreamingProcessor:
         )
         pn = cfg.pn
         wl = self._wl
+        running = self.db_mode == "running_max"
 
-        def one_channel(raw, calib, carry, carry_len):
+        def one_channel(raw, calib, carry, carry_len, max_power):
             out = chain(raw, calib)
             sig, count = pack_slow_time(out.strongest_chirps, out.detected, pn)
             mag = pair_abs(sig)  # [F·PN], valid in [0, count)
@@ -93,6 +108,20 @@ class StreamingProcessor:
             aligned = jnp.roll(ext, carry_len - (wl - 1))
             res = stft(aligned, valid_len=total)
             n_cols = jnp.maximum(total - wl + 1, 0)
+            # dB normalization: valid columns carry power > 0; invalid are
+            # zeroed by the operator, so the window max IS the valid max.
+            wmax = jnp.max(res.power)
+            new_max = jnp.maximum(max_power, wmax)
+            norm = new_max if running else wmax
+            safe = jnp.where(norm > 0, norm, 1.0)
+            db = jnp.where(
+                res.power > 0,
+                jnp.maximum(
+                    20.0 * jnp.log10(jnp.maximum(res.power, 1e-45) / safe),
+                    DB_FLOOR,
+                ),
+                DB_FLOOR,
+            )
             # Next carry: last min(total, W−1) stream samples, right-aligned
             # (prepend W−1 zeros so short streams keep the zero pad in front).
             y = jnp.concatenate([jnp.zeros(wl - 1, ext.dtype), aligned])
@@ -100,7 +129,8 @@ class StreamingProcessor:
             carry_valid = jnp.minimum(total, wl - 1)
             return (
                 out.waterfall, out.range, out.speed, out.strength,
-                out.detected, res.power, n_cols, nxt, carry_valid,
+                out.detected, res.power, db, norm, n_cols, nxt, carry_valid,
+                new_max,
             )
 
         vm = jax.vmap(one_channel)
@@ -111,17 +141,18 @@ class StreamingProcessor:
             cal_sh = NamedSharding(self.mesh, P(DATA_AXIS, None, None))
             carry_sh = NamedSharding(self.mesh, P(DATA_AXIS, None))
             self._step = jax.jit(
-                vm, in_shardings=(raw_sh, cal_sh, carry_sh, c_shard)
+                vm,
+                in_shardings=(raw_sh, cal_sh, carry_sh, c_shard, c_shard),
             )
         else:
             self._step = jax.jit(vm)
 
-        self._carry = jnp.zeros((self.channels, self._wl - 1), jnp.float32)
-        self._carry_len = jnp.zeros((self.channels,), jnp.int32)
+        self.reset()
 
     def reset(self):
         self._carry = jnp.zeros((self.channels, self._wl - 1), jnp.float32)
         self._carry_len = jnp.zeros((self.channels,), jnp.int32)
+        self._max_power = jnp.zeros((self.channels,), jnp.float32)
 
     def process_window(
         self, raw: np.ndarray, calib: np.ndarray
@@ -130,12 +161,46 @@ class StreamingProcessor:
 
         raw: [C, F, PN, NTS, 2] float32; calib: [C, NTS, 2] float32.
         """
-        (wf, rng, spd, stg, det, psd, n_cols, carry, carry_len) = self._step(
-            jnp.asarray(raw), jnp.asarray(calib), self._carry, self._carry_len
+        (wf, rng, spd, stg, det, psd, db, norm, n_cols, carry, carry_len,
+         max_power) = self._step(
+            jnp.asarray(raw), jnp.asarray(calib), self._carry,
+            self._carry_len, self._max_power,
         )
         self._carry = carry
         self._carry_len = carry_len
+        self._max_power = max_power
         return StreamingWindowResult(
             waterfall=wf, range=rng, speed=spd, strength=stg, detected=det,
-            psd=psd, col_count=n_cols, carry=carry,
+            psd=psd, psd_db=db, norm_power=norm, col_count=n_cols,
+            carry=carry,
         )
+
+
+def normalize_two_pass(
+    window_psds: list[np.ndarray], col_counts: list[np.ndarray]
+) -> list[np.ndarray]:
+    """Offline two-pass dB normalization over collected streaming windows.
+
+    EXACTLY the reference's global-max semantics (radar_processing.m:282-283
+    with the :547-552 G>0 guard): pass 1 finds the global max power over
+    every valid column of every window (per channel), pass 2 renders each
+    window's dB against it. Feed it the ``psd``/``col_count`` fields of the
+    StreamingWindowResults; returns per-window [C, nb, Lcap] dB arrays that
+    match an offline whole-recording run bit-for-bit over valid columns.
+    """
+    gmax = None
+    for p in window_psds:
+        w = np.max(np.asarray(p), axis=(-2, -1))  # [C] — invalid cols are 0
+        gmax = w if gmax is None else np.maximum(gmax, w)
+    safe = np.where(gmax > 0, gmax, 1.0).astype(np.float64)[:, None, None]
+    out = []
+    for p in window_psds:
+        # float64: 1e-45 underflows to 0 in float32 and trips log10(0).
+        p = np.asarray(p, np.float64)
+        db = np.where(
+            p > 0,
+            np.maximum(20.0 * np.log10(np.maximum(p, 1e-300) / safe), DB_FLOOR),
+            DB_FLOOR,
+        )
+        out.append(db.astype(np.float32))
+    return out

@@ -207,3 +207,53 @@ def log_rescale_oracle(freqs: np.ndarray, psd: np.ndarray, num_bins: int = 1024)
     for c in range(psd.shape[1]):
         out[:, c] = np.interp(log_bins, freqs, psd[:, c])
     return log_bins, out
+
+
+# ---------------------------------------------------------------------------
+# Literal-compat oracles (SURVEY Appendix A quirks #1 and #2) — independent
+# re-statements of the MATLAB semantics, used to validate the pipeline's
+# compat_transposed_measurements / compat_linear_index_snapshot flags.
+# ---------------------------------------------------------------------------
+
+
+def matlab_grow_write(arr: np.ndarray, r1: int, c1: int, value) -> np.ndarray:
+    """MATLAB subscripted assignment with auto-growth: ``A(r1, c1) = v``
+    (1-based). Out-of-range subscripts grow the array, zero-filling new
+    cells — the mechanism behind quirk #1."""
+    rows = max(arr.shape[0], r1)
+    cols = max(arr.shape[1], c1)
+    if (rows, cols) != arr.shape:
+        grown = np.zeros((rows, cols), arr.dtype)
+        grown[: arr.shape[0], : arr.shape[1]] = arr
+        arr = grown
+    arr[r1 - 1, c1 - 1] = value
+    return arr
+
+
+def literal_measurements_oracle(
+    res: RecordingOracleResult, cfg: RadarConfig
+) -> tuple[np.ndarray, np.ndarray]:
+    """Replay the 'no' branch's transposed measurement writes
+    (radar_processing.m:157-159 prealloc, :245-250 writes) and return the
+    literal (range, speed) matrices a MATLAB run would export."""
+    t = cfg.algorithm.max_num_targets
+    f = res.detected.shape[0]
+    rng = np.zeros((t, f))
+    spd = np.zeros((t, f))
+    for fr0 in range(f):
+        for j0 in range(t):
+            if not np.isnan(res.range[j0, fr0]):
+                rng = matlab_grow_write(rng, fr0 + 1, j0 + 1, res.range[j0, fr0])
+                spd = matlab_grow_write(spd, fr0 + 1, j0 + 1, res.speed[j0, fr0])
+    return rng, spd
+
+
+def literal_snapshot_oracle(
+    res: RecordingOracleResult, chirp_1based: int = 100
+) -> np.ndarray:
+    """``abs(range_tx1rx1_complete(:, 100))`` — MATLAB column-linear
+    indexing of the (K, PN, F) cube (radar_processing.m:410-411): column
+    100 is chirp #100 overall, a raw complex FFT column."""
+    k = res.range_fft_complete.shape[0]
+    flat = res.range_fft_complete.reshape(k, -1, order="F")
+    return np.abs(flat[:, chirp_1based - 1])

@@ -137,3 +137,88 @@ def test_multichannel_mesh(cfg, rng):
         np.testing.assert_allclose(
             np.asarray(r.psd[c]), np.asarray(rs.psd[0]), rtol=1e-2, atol=1e-10
         )
+
+
+def test_db_modes_and_two_pass_parity(cfg, rng):
+    """dB normalization modes (VERDICT r1 item 8).
+
+    two-pass over streamed windows must EXACTLY recover the reference's
+    global-max semantics (== offline psd_db of the full run); running_max
+    equals two-pass from the window where the global max first appears;
+    per_window diverges from global by exactly 20·log10(gmax/wmax).
+    """
+    import jax.numpy as jnp
+
+    from fmcw_radar_processing_tpu.dsp.stft import psd_db, StftOperator
+    from fmcw_radar_processing_tpu.pipeline.frame_chain import (
+        make_frame_chain,
+        pack_slow_time,
+    )
+    from fmcw_radar_processing_tpu.pipeline.streaming import (
+        StreamingProcessor,
+        normalize_two_pass,
+    )
+    from fmcw_radar_processing_tpu.utils.cplx import pair_abs
+
+    # Quiet first window, loud second: the global max only appears in
+    # window 2, so per_window's window-1 normalization visibly diverges
+    # from the reference's global max while running_max converges by
+    # window 2 (it has then seen the global max).
+    raw_a, cal = _channel_raw(cfg, rng, frames=4, amplitude=3.0)
+    raw_b, _ = _channel_raw(cfg, rng, frames=4, amplitude=6.0)
+    raw = np.concatenate([raw_a, raw_b])[None]
+    cal = cal[None]
+
+    win, cols, psds = [], [], []
+    for mode in ("per_window", "running_max"):
+        sp = StreamingProcessor(cfg, channels=1, window_frames=4, db_mode=mode)
+        r1 = sp.process_window(raw[:, :4], cal)
+        r2 = sp.process_window(raw[:, 4:], cal)
+        win.append((r1, r2))
+    (pw1, pw2), (rm1, rm2) = win
+
+    # Linear PSDs identical across modes (normalization is downstream).
+    np.testing.assert_array_equal(np.asarray(pw2.psd), np.asarray(rm2.psd))
+
+    two = normalize_two_pass(
+        [pw1.psd, pw2.psd], [pw1.col_count, pw2.col_count]
+    )
+
+    # Offline reference: whole recording, global-max psd_db.
+    chain = make_frame_chain(cfg)
+    out = chain(raw[0], cal[0])
+    sig, count = pack_slow_time(out.strongest_chirps, out.detected, cfg.pn)
+    op = StftOperator.create(
+        window_length=cfg.algorithm.stft_window_length,
+        beta=cfg.algorithm.stft_kaiser_beta, nfft=256,
+        fs=1.0 / cfg.derived.prt, hop=1,
+    )
+    res = op(pair_abs(sig), valid_len=count)
+    want_db = np.asarray(psd_db(res))
+    n1, n2 = int(pw1.col_count[0]), int(pw2.col_count[0])
+    got_db = np.concatenate([two[0][0][:, :n1], two[1][0][:, :n2]], axis=1)
+    # Compare where the signal is displayable (> -100 dB): at near-zero
+    # powers the log amplifies f32 summation-order noise between the
+    # streamed and offline paths into meaningless dB deltas.
+    disp = want_db[:, : n1 + n2] > -100.0
+    np.testing.assert_allclose(got_db[disp], want_db[:, : n1 + n2][disp],
+                               rtol=1e-4, atol=0.05)
+
+    # running_max window 2 == two-pass window 2 (global max was in window 1).
+    np.testing.assert_allclose(
+        np.asarray(rm2.psd_db[0])[:, :n2], two[1][0][:, :n2],
+        rtol=1e-5, atol=1e-3,
+    )
+
+    # per_window window 1 diverges from global by exactly the max ratio.
+    gmax = max(float(np.max(np.asarray(pw1.psd))),
+               float(np.max(np.asarray(pw2.psd))))
+    wmax1 = float(np.max(np.asarray(pw1.psd)))
+    offset = 20.0 * np.log10(gmax / wmax1)
+    assert offset > 1.0  # the divergence is real and measured
+    valid = two[0][0][:, :n1] > -900
+    np.testing.assert_allclose(
+        np.asarray(pw1.psd_db[0])[:, :n1][valid] - offset,
+        two[0][0][:, :n1][valid],
+        rtol=1e-4, atol=2e-2,
+    )
