@@ -39,13 +39,17 @@ def _kernel(prof_ref, gate_ref, idx_ref, mag_ref, *, num_targets: int,
     )
     masked = jnp.where(eligible, p, neg)
     cols = jax.lax.broadcasted_iota(jnp.int32, (ft, k), 1)
+    # Outputs are [T_pad, Ft] — frames on the 128-lane axis, targets on
+    # sublanes — so T only pads to the 8-sublane minimum instead of 128
+    # lanes (the r1 kernel wrote 128 lanes per frame for T=1: 128× write
+    # amplification).
     for t in range(num_targets):
         best = jnp.max(masked, axis=1, keepdims=True)  # [Ft, 1]
         is_best = masked == best
         # Lowest bin wins ties (matches top_k's stable ordering).
         best_idx = jnp.min(jnp.where(is_best, cols, k), axis=1, keepdims=True)
-        mag_ref[:, t : t + 1] = best
-        idx_ref[:, t : t + 1] = jnp.where(best_idx < k, best_idx, 0)
+        mag_ref[t : t + 1, :] = best.reshape(1, ft)
+        idx_ref[t : t + 1, :] = jnp.where(best_idx < k, best_idx, 0).reshape(1, ft)
         if t + 1 < num_targets:
             masked = jnp.where(cols == best_idx, neg, masked)
 
@@ -65,15 +69,16 @@ def search_peaks_pallas(
 
     f, k = profile.shape
     t = cfg.algorithm.max_num_targets
-    tile = 8
+    # Frames ride the 128-lane axis of the OUTPUTS, so the frame tile is
+    # 128; targets pad only to the 8-sublane f32 minimum.
+    tile = 128
     f_pad = -(-f // tile) * tile
     prof = jnp.pad(profile, ((0, f_pad - f), (0, 0))) if f_pad != f else profile
     gate = jnp.broadcast_to(
         gate_mask(cfg).astype(jnp.float32)[None, :], (tile, k)
     )
 
-    # Output lanes must be 128-aligned; round T up and slice back.
-    t_pad = max(t, 128)
+    t_pad = -(-t // 8) * 8
     idx, mag = pl.pallas_call(
         functools.partial(
             _kernel, num_targets=t, threshold=cfg.algorithm.range_threshold
@@ -84,19 +89,19 @@ def search_peaks_pallas(
             pl.BlockSpec((tile, k), lambda i: (0, 0), memory_space=pltpu.VMEM),
         ],
         out_specs=[
-            pl.BlockSpec((tile, t_pad), lambda i: (i, 0),
+            pl.BlockSpec((t_pad, tile), lambda i: (0, i),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((tile, t_pad), lambda i: (i, 0),
+            pl.BlockSpec((t_pad, tile), lambda i: (0, i),
                          memory_space=pltpu.VMEM),
         ],
         out_shape=[
-            jax.ShapeDtypeStruct((f_pad, t_pad), jnp.int32),
-            jax.ShapeDtypeStruct((f_pad, t_pad), jnp.float32),
+            jax.ShapeDtypeStruct((t_pad, f_pad), jnp.int32),
+            jax.ShapeDtypeStruct((t_pad, f_pad), jnp.float32),
         ],
         interpret=interpret,
     )(prof, gate)
-    idx = idx[:f, :t]
-    mag = mag[:f, :t]
+    idx = idx[:t, :f].T
+    mag = mag[:t, :f].T
     valid = jnp.isfinite(mag)
     return DetectionResult(
         idx=idx, magnitude=jnp.where(valid, mag, 0.0), valid=valid
