@@ -101,6 +101,14 @@ def _make_full(cfg, impl: str, nfft: int):
         db = psd_db(res)
         _, intensity = log_frequency_rescale(res.freqs, db,
                                              cfg.algorithm.max_freq_bins)
+        # Full-reduction fingerprint: forces every artifact to be fully
+        # computed and adds one conservative extra read of the [1024, F·PN]
+        # intensity (~5 ms at HBM rate for 65k frames). Returning the
+        # artifacts instead and syncing on a cheap slice was tried and
+        # rejected: with pipelined dispatch (chain_depth > 1) each in-flight
+        # call would hold a live ~4 GB output buffer and OOM the 16 GB HBM,
+        # and a partial-slice fingerprint would let XLA dead-code-eliminate
+        # part of the matmul. Artifacts stay program-internal temps here.
         fin = jnp.where(jnp.isfinite(intensity), intensity, 0.0)
         return (
             jnp.sum(out.waterfall)
@@ -112,23 +120,78 @@ def _make_full(cfg, impl: str, nfft: int):
     return full
 
 
+def _scalar(out):
+    """Pull the fingerprint scalar (last element if fn returns a tuple)."""
+    return float(out[-1] if isinstance(out, tuple) else out)
+
+
 def _time_call(fn, args, iters: int = 5) -> float:
-    """Min wall time of fn(*args) with a scalar D2H sync."""
-    float(fn(*args))  # warmup/compile
+    """Min wall time of one fn(*args) call with a scalar D2H sync —
+    latency including one host→device dispatch (~24 ms through the
+    tunneled runtime; the single-frame configs exist to record exactly
+    that end-to-end latency)."""
+    _scalar(fn(*args))  # warmup/compile
     best = float("inf")
     for _ in range(iters):
         t0 = time.perf_counter()
-        float(fn(*args))
+        _scalar(fn(*args))
         best = min(best, time.perf_counter() - t0)
     return best
 
 
-def bench_tpu(cfg, raw, calib, iters: int = 5, impl: str = "fused",
-              nfft: int = 256) -> float:
+def _repeat_jit(scalar_fn, n: int):
+    """Wrap a scalar-returning traced fn so it runs n times inside ONE
+    dispatched program. The optimization_barrier threads the accumulator
+    through every iteration's *inputs*, so XLA can neither hoist the body
+    out of the fori_loop nor CSE the iterations."""
+    import jax
+    import jax.numpy as jnp
+    from jax import lax
+
+    @jax.jit
+    def run(*args):
+        def body(_, acc):
+            chained = jax.lax.optimization_barrier((acc,) + args)
+            return chained[0] + scalar_fn(*chained[1:])
+        return lax.fori_loop(0, n, body, jnp.float32(0.0))
+
+    return run
+
+
+def _time_steady(scalar_fn, args, inner: int = 8, iters: int = 3) -> float:
+    """Steady-state per-iteration device time via on-device repetition:
+    (time(inner runs) − time(1 run)) / (inner − 1).
+
+    The tunneled runtime charges a fixed ~24 ms host↔device round trip per
+    dispatch, which would swamp a ~20 ms kernel measurement; repeating the
+    workload inside one program and differencing against a single run
+    isolates what the chip itself does — the number that scales to
+    production (where the dispatcher is local and overlapped)."""
+    r1 = _repeat_jit(scalar_fn, 1)
+    rn = _repeat_jit(scalar_fn, inner)
+    _scalar(r1(*args))
+    _scalar(rn(*args))
+    b1 = bn = float("inf")
+    for _ in range(iters):
+        t0 = time.perf_counter()
+        _scalar(r1(*args))
+        b1 = min(b1, time.perf_counter() - t0)
+        t0 = time.perf_counter()
+        _scalar(rn(*args))
+        bn = min(bn, time.perf_counter() - t0)
+    dt = (bn - b1) / (inner - 1)
+    if dt <= 0:  # timing noise swamped the difference (tiny workloads on
+        dt = bn / inner  # CPU smoke runs): fall back to the inclusive rate
+    return dt
+
+
+def bench_tpu(cfg, raw, calib, iters: int = 3, impl: str = "fused",
+              nfft: int = 256, inner: int = 8) -> float:
     import jax.numpy as jnp
 
     full = _make_full(cfg, impl, nfft)
-    dt = _time_call(full, (jnp.asarray(raw), jnp.asarray(calib)), iters)
+    dt = _time_steady(full, (jnp.asarray(raw), jnp.asarray(calib)),
+                      inner=inner, iters=iters)
     return raw.shape[0] / dt
 
 
@@ -312,7 +375,8 @@ def run_matrix(quick: bool = False) -> list[dict]:
     add("3_multi_frame_stft", "fused", fps, fpf)
 
     # -- BASELINE config 4: batched recording replay x impls + SNR
-    impls = ("xla", "fused", "fused_bf16", "pallas", "pallas_profile")
+    impls = ("xla", "fused", "fused_bf16", "pallas", "pallas_profile",
+             "pallas_profile_bf16")
     for impl in impls:
         fps = bench_tpu(cfg, raw_all, calib, impl=impl, nfft=nfft)
         extra = {"frames": f_big}
@@ -335,13 +399,16 @@ def run_matrix(quick: bool = False) -> list[dict]:
     )
     calib_c = jax.device_put(np.broadcast_to(calib, (c, cfg.nts, 2)).copy())
     sp.process_window(raw_c, calib_c)  # warmup/compile
-    best = float("inf")
+    depth = 4  # windows chain through the device-resident carry; dispatch
+    best = float("inf")  # pipelines, so sync once per batch of windows
     for _ in range(5):
         t0 = time.perf_counter()
-        out = sp.process_window(raw_c, calib_c)
-        float(jnp.sum(out.psd) + jnp.sum(out.waterfall))  # scalar D2H sync
+        out = None
+        for _ in range(depth):
+            out = sp.process_window(raw_c, calib_c)
+        float(jnp.sum(out.psd[..., -1]) + jnp.sum(out.waterfall[..., -1, :]))
         best = min(best, time.perf_counter() - t0)
-    add("5_streaming_8ch", "fused", c * wf / best, fpf,
+    add("5_streaming_8ch", "fused", c * wf * depth / best, fpf,
         {"channels": c, "window_frames": wf})
 
     # -- Fidelity mode: literal reference STFT (hop 1, nfft = 2^nextpow2(L))

@@ -121,89 +121,120 @@ def fast_time_pallas(
     return rf, prof[:f]
 
 
-def _profile_kernel(xr_ref, xi_ref, mr_ref, mi_ref, offr_ref, offi_ref,
-                    prof_ref, *, group: int, pn: int):
-    """DFT + magnitude + chirp-max with NOTHING but the [G, K] profile
-    written out — the range-FFT values live and die in VMEM/registers."""
-    xr = xr_ref[:]  # [G·PN, NTS]
-    xi = xi_ref[:]
-    mr = mr_ref[:]  # [NTS, K]
-    mi = mi_ref[:]
-    yr = (
-        jnp.dot(xr, mr, preferred_element_type=jnp.float32)
-        - jnp.dot(xi, mi, preferred_element_type=jnp.float32)
-        - offr_ref[:]
-    )
-    yi = (
-        jnp.dot(xr, mi, preferred_element_type=jnp.float32)
-        + jnp.dot(xi, mr, preferred_element_type=jnp.float32)
-        - offi_ref[:]
-    )
+def _profile_kernel(x_ref, w_ref, off_ref, prof_ref, *, group: int, pn: int,
+                    k: int, precision):
+    """Packed DFT + magnitude + chirp-max; only the [G, K] profile leaves
+    VMEM — the range-FFT values live and die in VMEM/registers."""
+    x = x_ref[:]  # [G·PN, 2·NTS] interleaved (re, im) pairs
+    w = w_ref[:]  # [2·NTS, 2·K] — columns [:K] produce re, [K:] produce im
+    # Precision, not dtype, selects the MXU mode: an explicit
+    # astype(bfloat16) feeding an f32-accumulating dot is constant-folded
+    # away by Mosaic exactly like XLA's excess-precision folding (measured:
+    # bit-identical output to f32, i.e. no quantization and no speedup).
+    # lax.Precision.DEFAULT = bf16 multiply passes (what XLA uses for every
+    # f32 matmul by default — measured 55 dB vs f64 for this operator);
+    # HIGHEST = full f32 multiply (measured 140 dB).
+    y = jnp.dot(x, w, preferred_element_type=jnp.float32,
+                precision=precision) - off_ref[:]
+    yr = y[:, :k]
+    yi = y[:, k:]
     mag = jnp.sqrt(yr * yr + yi * yi)
-    k = mag.shape[-1]
     prof_ref[:] = jnp.max(mag.reshape(group, pn, k), axis=1)
 
 
-@functools.partial(jax.jit, static_argnames=("cfg", "interpret", "group"))
+def _packed_blocked_weight(m) -> np.ndarray:
+    """[2·NTS, 2·K] real weight with re|im BLOCK columns (cols [:K] give the
+    real part, [K:] the imaginary part), for interleaved-pair input rows.
+
+    Differs from PackedFastTime.w (interleaved output columns) so the
+    kernel epilogue can slice contiguous lane ranges instead of stride-2
+    lanes — a free relayout at weight-build time vs a vector shuffle per
+    tile at run time.
+    """
+    k, nts = m.shape
+    w = np.zeros((2 * nts, 2 * k), np.float32)
+    w[0::2, :k] = m.real.T
+    w[1::2, :k] = -m.imag.T
+    w[0::2, k:] = m.imag.T
+    w[1::2, k:] = m.real.T
+    return w
+
+
+@functools.partial(
+    jax.jit, static_argnames=("cfg", "interpret", "group", "compute_dtype")
+)
 def fast_time_profile_pallas(
     raw: jax.Array, calib: jax.Array, cfg: RadarConfig,
     interpret: bool | None = None, group: int | None = None,
+    compute_dtype=jnp.float32,
 ):
     """Profile-ONLY fused fast-time stage (VERDICT r1 item 4).
 
-    Same math as :func:`fast_time_pallas` but emits only the integrated
-    range profile [F, K] — the [F, PN, K, 2] range-FFT cube is never
-    written to HBM at all, making the kernel's HBM traffic
-    F·PN·NTS·2 reads + F·K writes: the information-theoretic minimum for
-    this reduction (radar_processing.m:201-210 collapsed to one pass).
-    Detected bins' chirp rows are recomputed downstream via
-    PackedFastTime.rf_at_bins (recompute-over-materialize).
+    Emits only the integrated range profile [F, K]; the range-FFT cube is
+    never written to HBM, making the kernel's HBM traffic F·PN·NTS·2 reads
+    + F·K writes — the information-theoretic minimum for this reduction
+    (radar_processing.m:201-210 collapsed to one pass). This matters
+    because XLA's otherwise-excellent fusion cannot sink a reduction into
+    a matmul: the fused XLA path (PackedFastTime.profile) still round-trips
+    the [F·PN, 2K] product through HBM (~4 GB for a 65k-frame recording,
+    measured ~6 ms of the stage's 8.8 ms on a v5e). Detected bins' chirp
+    rows are recomputed downstream via PackedFastTime.rf_at_bins
+    (recompute-over-materialize).
+
+    Input stays in its native interleaved pair layout — reshaping
+    [F, PN, NTS, 2] → [F·PN, 2·NTS] is free, and the packed weight (see
+    _packed_blocked_weight) absorbs the complex 2×2 block structure, so
+    there is no separate deinterleave pass over the recording.
 
     raw: [F, PN, NTS, 2] float32; calib: [NTS, 2] float32 → [F, K].
-    group: frames per kernel instance (None = smallest with ≥128 rows;
-    larger groups amortize the weight reload across more rows).
+    group: frames per kernel instance (None = 1024 matmul rows' worth;
+    larger groups amortize weight reloads and grid overhead).
+    compute_dtype selects the MXU precision class (see _profile_kernel):
+    jnp.float32 → lax.Precision.HIGHEST (genuinely exact, unlike the
+    DEFAULT-precision XLA paths); jnp.bfloat16 → lax.Precision.DEFAULT
+    (bf16 multiply passes, f32 accumulate — the same accuracy class as
+    every default XLA f32 matmul in this codebase). Accuracy cost is
+    recorded by bench.py's SNR columns, not guessed.
     """
     if interpret is None:
         interpret = jax.default_backend() not in ("tpu", "axon")
+    precision = (jax.lax.Precision.HIGHEST if compute_dtype == jnp.float32
+                 else jax.lax.Precision.DEFAULT)
     f, pn, nts, _ = raw.shape
     k = cfg.range_fft_size
     m = build_fast_time_matrix(cfg)
-    mr = jnp.asarray(m.real.T.copy(), jnp.float32)  # [NTS, K]
-    mi = jnp.asarray(m.imag.T.copy(), jnp.float32)
-    cr, ci = calib[..., 0], calib[..., 1]
-    offr = (cr @ mr - ci @ mi)[None, :]  # [1, K]
-    offi = (cr @ mi + ci @ mr)[None, :]
+    w = jnp.asarray(_packed_blocked_weight(m))  # [2·NTS, 2·K]
+    off = calib.astype(jnp.float32).reshape(1, 2 * nts) @ w  # [1, 2K], f32
 
     if group is None:
-        group = max(1, -(-128 // pn))
+        group = max(1, 1024 // pn)
     f_pad = -(-f // group) * group
-    xr = raw[..., 0].reshape(f * pn, nts)
-    xi = raw[..., 1].reshape(f * pn, nts)
+    x = raw.astype(jnp.float32).reshape(f * pn, 2 * nts)
     if f_pad != f:
-        pad = ((0, (f_pad - f) * pn), (0, 0))
-        xr = jnp.pad(xr, pad)
-        xi = jnp.pad(xi, pad)
+        x = jnp.pad(x, ((0, (f_pad - f) * pn), (0, 0)))
 
     rows = group * pn
     grid = (f_pad // group,)
-    row_spec = pl.BlockSpec((rows, nts), lambda i: (i, 0),
-                            memory_space=pltpu.VMEM)
-    w_spec = pl.BlockSpec((nts, k), lambda i: (0, 0), memory_space=pltpu.VMEM)
-    off_spec = pl.BlockSpec((1, k), lambda i: (0, 0), memory_space=pltpu.VMEM)
-    prof_spec = pl.BlockSpec((group, k), lambda i: (i, 0),
-                             memory_space=pltpu.VMEM)
-
     prof = pl.pallas_call(
-        functools.partial(_profile_kernel, group=group, pn=pn),
+        functools.partial(_profile_kernel, group=group, pn=pn, k=k,
+                          precision=precision),
         grid=grid,
-        in_specs=[row_spec, row_spec, w_spec, w_spec, off_spec, off_spec],
-        out_specs=prof_spec,
+        in_specs=[
+            pl.BlockSpec((rows, 2 * nts), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((2 * nts, 2 * k), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 2 * k), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((group, k), lambda i: (i, 0),
+                               memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((f_pad, k), jnp.float32),
         cost_estimate=pl.CostEstimate(
-            flops=4 * 2 * f_pad * pn * nts * k,
+            flops=2 * f_pad * pn * (2 * nts) * (2 * k),
             bytes_accessed=4 * (2 * f_pad * pn * nts + f_pad * k),
             transcendentals=f_pad * pn * k,  # sqrt
         ),
         interpret=interpret,
-    )(xr, xi, mr, mi, offr, offi)
+    )(x, w, off)
     return prof[:f]

@@ -74,10 +74,14 @@ def make_frame_chain(
       'pallas' hand-fused VMEM kernels (ops/) for fast-time + peak search.
       'pallas_profile'  profile-only Pallas fast-time kernel (the range-FFT
                cube never reaches HBM) + XLA peak search.
+      'pallas_profile_bf16'  same kernel with in-register bf16 MXU operands
+               (f32 accumulate, f32 HBM traffic) — 2× MXU rate on the
+               dominant matmul; payload-side rf_at_bins stays f32.
     Outputs are identical across impls (tests/test_pallas_chain.py); the
-    bf16 variant is identical up to input quantization (~40 dB SNR).
+    bf16 variants are identical up to input quantization (~40 dB SNR).
     """
-    if impl not in ("fused", "xla", "pallas", "pallas_profile", "fused_bf16"):
+    if impl not in ("fused", "xla", "pallas", "pallas_profile",
+                    "pallas_profile_bf16", "fused_bf16"):
         raise ValueError(f"unknown impl {impl!r}")
     ft = FastTimeOperator.create(cfg)
     pft = PackedFastTime.create(
@@ -98,14 +102,20 @@ def make_frame_chain(
 
             rf, profile = fast_time_pallas(raw, calib, cfg)
             det = search_peaks_pallas(profile, cfg)
-        elif impl == "pallas_profile" and not return_range_fft:
+        elif (impl in ("pallas_profile", "pallas_profile_bf16")
+              and not return_range_fft):
             from fmcw_radar_processing_tpu.ops.fast_time_pallas import (
                 fast_time_profile_pallas,
             )
 
-            profile = fast_time_profile_pallas(raw, calib, cfg)
+            profile = fast_time_profile_pallas(
+                raw, calib, cfg,
+                compute_dtype=(jnp.bfloat16 if impl == "pallas_profile_bf16"
+                               else jnp.float32),
+            )
             det = search_peaks(profile, cfg)
-        elif impl in ("fused", "fused_bf16", "pallas_profile") and not return_range_fft:
+        elif (impl in ("fused", "fused_bf16", "pallas_profile",
+                       "pallas_profile_bf16") and not return_range_fft):
             profile = pft.profile(raw, calib)  # [F, K], rf never in HBM
             det = search_peaks(profile, cfg)  # [F, T]
         else:
@@ -155,20 +165,22 @@ def pack_slow_time(
     into a fixed-capacity buffer.
 
     Frames with no detection are skipped — the slow-time axis "skips" those
-    periods by design (:519-522). Packing is a static-shape scatter: frame i
-    with detection rank r writes its PN chirps at [r·PN, (r+1)·PN); frames
-    without detection write into a discarded spill slot past the capacity.
+    periods by design (:519-522). Packing is a stable partition: sort the F
+    frames by (not detected) with original order preserved, gather whole
+    chirp rows, zero everything past the valid prefix. A row-scatter
+    formulation is semantically identical but ~40 ms slower on a v5e for a
+    65k-frame recording — TPU scatters with F·PN item indices serialize,
+    while a 65k-key sort plus a contiguous [F, PN, 2] row gather stays
+    vectorized (measured: the scatter was 2/3 of the whole chain's chip
+    time).
 
     Returns (signal [F·PN, 2] float32 pair, valid_count scalar int32).
     """
     f = strongest_chirps.shape[0]
-    cap = f * pn
-    order = jnp.cumsum(detected.astype(jnp.int32)) - 1  # rank among detected
-    base = jnp.where(detected, order * pn, cap)  # spill → cap
-    idx = base[:, None] + jnp.arange(pn)[None, :]  # [F, PN]
-    out = jnp.zeros((cap + pn, 2), jnp.float32)
-    out = out.at[idx.reshape(-1)].set(
-        strongest_chirps.reshape(-1, 2), mode="drop"
-    )
-    count = jnp.sum(detected.astype(jnp.int32)) * pn
-    return out[:cap], count
+    perm = jnp.argsort(jnp.where(detected, 0, 1).astype(jnp.int32),
+                       stable=True)  # detected frames first, in order
+    gathered = jnp.take(strongest_chirps.astype(jnp.float32), perm, axis=0)
+    n_det = jnp.sum(detected.astype(jnp.int32))
+    keep = jnp.arange(f, dtype=jnp.int32) < n_det
+    out = jnp.where(keep[:, None, None], gathered, 0.0)
+    return out.reshape(f * pn, 2), n_det * pn
