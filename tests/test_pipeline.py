@@ -62,6 +62,37 @@ def test_slow_time_packing_matches_oracle(cfg, rng):
     )
 
 
+def test_slow_time_packing_edge_cases(cfg):
+    """Stable-partition pack: zero/all/interleaved detection patterns.
+
+    Pins the semantics the argsort-compaction rewrite must preserve
+    (radar_processing.m:255-260): detected frames' chirp rows packed in
+    frame order, zeros past the valid count."""
+    import numpy as np
+
+    from fmcw_radar_processing_tpu.pipeline.frame_chain import pack_slow_time
+
+    f, pn = 9, cfg.pn
+    chirps = np.arange(f * pn * 2, dtype=np.float32).reshape(f, pn, 2)
+
+    sig, count = pack_slow_time(chirps, np.zeros(f, bool), pn)
+    assert int(count) == 0
+    np.testing.assert_array_equal(np.asarray(sig), 0.0)
+
+    sig, count = pack_slow_time(chirps, np.ones(f, bool), pn)
+    assert int(count) == f * pn
+    np.testing.assert_array_equal(np.asarray(sig), chirps.reshape(-1, 2))
+
+    det = np.array([False, True, False, True, True, False, False, True,
+                    False])
+    sig, count = pack_slow_time(chirps, det, pn)
+    assert int(count) == det.sum() * pn
+    want = chirps[det].reshape(-1, 2)
+    got = np.asarray(sig)
+    np.testing.assert_array_equal(got[: int(count)], want)
+    np.testing.assert_array_equal(got[int(count):], 0.0)
+
+
 def test_spectrogram_intensity_matches_oracle(cfg, rng):
     frames, calib = _mixed_recording(cfg, rng)
     pipe = RadarPipeline(cfg)
