@@ -190,6 +190,12 @@ def bench_tpu(cfg, raw, calib, iters: int = 3, impl: str = "fused",
     import jax.numpy as jnp
 
     full = _make_full(cfg, impl, nfft)
+    # Flat pair-rows across the jit boundary: free host view, avoids the
+    # ~8 ms in-graph relayout of a [.., NTS, 2] device parameter (see
+    # PackedFastTime._flat_rows).
+    import numpy as np
+
+    raw = np.asarray(raw).reshape(raw.shape[0], cfg.pn, -1)
     dt = _time_steady(full, (jnp.asarray(raw), jnp.asarray(calib)),
                       inner=inner, iters=iters)
     return raw.shape[0] / dt
@@ -395,7 +401,8 @@ def run_matrix(quick: bool = False) -> list[dict]:
     # buffers; including the tunnel's host->device upload would measure the
     # test harness's network, not the chip.
     raw_c = jax.device_put(
-        np.broadcast_to(raw_all[:wf], (c, wf, cfg.pn, cfg.nts, 2)).copy()
+        np.broadcast_to(raw_all[:wf], (c, wf, cfg.pn, cfg.nts, 2))
+        .reshape(c, wf, cfg.pn, -1).copy()  # flat pair-rows
     )
     calib_c = jax.device_put(np.broadcast_to(calib, (c, cfg.nts, 2)).copy())
     sp.process_window(raw_c, calib_c)  # warmup/compile

@@ -84,10 +84,16 @@ class FastTimeOperator:
         """Apply the fused chain.
 
         raw:   [..., PN, NTS, 2] float32 ADC sample pairs (rx1 of tx1,
-               matching matrix_raw_data(:,:,1) at radar_processing.m:202).
+               matching matrix_raw_data(:,:,1) at radar_processing.m:202),
+               or flat pair-rows [..., PN, 2·NTS] (re-paired here; the
+               packed operator is the layout-lean path — see
+               PackedFastTime._flat_rows).
         calib: [NTS, 2] calibration pair (radar_processing.m:174).
         returns range_fft [..., PN, K, 2] float32.
         """
+        nts = self.m_re.shape[1]
+        if raw.shape[-1] == 2 * nts:
+            raw = raw.reshape(*raw.shape[:-1], nts, 2)
         y = pair_matmul(
             raw.astype(jnp.float32),
             jnp.asarray(self.m_re),
@@ -170,10 +176,25 @@ class PackedFastTime:
         flat = calib.astype(jnp.float32).reshape(1, 2 * self.nts)
         return (flat @ jnp.asarray(self.w)).reshape(self.k, 2)
 
+    def _flat_rows(self, raw: jax.Array) -> jax.Array:
+        """Normalize raw chirps to flat pair-rows [..., 2·NTS].
+
+        Accepts [..., NTS, 2] (pair layout) or [..., 2·NTS] (flat). Feeding
+        the FLAT layout across the jit boundary matters on TPU: a
+        [..., NTS, 2] *parameter* gets a device tiling keyed to the size-2
+        minor axis, and reshaping it in-graph to matmul rows is a real
+        relayout pass (measured ~8 ms for a 65k-frame recording on a v5e —
+        more than the DFT matmul itself). Callers that own the host buffer
+        should reshape there (a free view) and pass [..., 2·NTS].
+        """
+        if raw.shape[-1] == 2 * self.nts:
+            return raw.astype(jnp.float32)
+        return raw.astype(jnp.float32).reshape(*raw.shape[:-2], 2 * self.nts)
+
     def rf(self, raw: jax.Array, calib: jax.Array) -> jax.Array:
         """Full range FFT [..., PN, K, 2] via one matmul."""
-        x = raw.astype(jnp.float32).reshape(*raw.shape[:-2], 2 * self.nts)
-        y = self._matmul(x).reshape(*raw.shape[:-2], self.k, 2)
+        x = self._flat_rows(raw)
+        y = self._matmul(x).reshape(*x.shape[:-1], self.k, 2)
         return y - self.offset(calib)
 
     def profile(self, raw: jax.Array, calib: jax.Array) -> jax.Array:
@@ -195,7 +216,7 @@ class PackedFastTime:
         a [F, PN, K, 2] tensor.
         """
         f, t = idx.shape
-        x = raw.astype(jnp.float32).reshape(f, -1, 2 * self.nts)  # [F,PN,2NTS]
+        x = self._flat_rows(raw).reshape(f, -1, 2 * self.nts)  # [F,PN,2NTS]
         cols = (idx[..., None] * 2 + jnp.arange(2)).reshape(f, 2 * t)
         w_sel = jnp.asarray(self.w).T[cols]  # [F, 2T, 2NTS]
         y = jnp.einsum("fpn,ftn->fpt", x, w_sel)  # [F, PN, 2T]

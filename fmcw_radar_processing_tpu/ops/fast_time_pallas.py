@@ -62,12 +62,15 @@ def fast_time_pallas(
 ):
     """Fused fast-time stage.
 
-    raw: [F, PN, NTS, 2] float32; calib: [NTS, 2] float32.
+    raw: [F, PN, NTS, 2] or flat [F, PN, 2·NTS] float32;
+    calib: [NTS, 2] float32.
     Returns (range_fft [F, PN, K, 2], profile [F, K]).
     interpret: None = auto (interpreter off TPU, compiled on TPU).
     """
     if interpret is None:
         interpret = jax.default_backend() not in ("tpu", "axon")
+    if raw.shape[-1] == 2 * cfg.nts:
+        raw = raw.reshape(*raw.shape[:-1], cfg.nts, 2)
     f, pn, nts, _ = raw.shape
     k = cfg.range_fft_size
     m = build_fast_time_matrix(cfg)
@@ -181,12 +184,16 @@ def fast_time_profile_pallas(
     rows are recomputed downstream via PackedFastTime.rf_at_bins
     (recompute-over-materialize).
 
-    Input stays in its native interleaved pair layout — reshaping
-    [F, PN, NTS, 2] → [F·PN, 2·NTS] is free, and the packed weight (see
-    _packed_blocked_weight) absorbs the complex 2×2 block structure, so
-    there is no separate deinterleave pass over the recording.
+    Input should arrive as FLAT pair-rows [F, PN, 2·NTS]: the packed weight
+    (_packed_blocked_weight) absorbs the complex 2×2 block structure, so no
+    deinterleave pass is needed — but a [F, PN, NTS, 2] *parameter* carries
+    a device tiling keyed to the size-2 minor axis, and the in-graph
+    reshape to matmul rows is then a real relayout (~8 ms measured at 65k
+    frames, 8× the kernel itself). Reshape on the host (free view) and pass
+    flat; the pair layout is still accepted for compatibility.
 
-    raw: [F, PN, NTS, 2] float32; calib: [NTS, 2] float32 → [F, K].
+    raw: [F, PN, 2·NTS] (preferred) or [F, PN, NTS, 2] float32;
+    calib: [NTS, 2] float32 → [F, K].
     group: frames per kernel instance (None = 1024 matmul rows' worth;
     larger groups amortize weight reloads and grid overhead).
     compute_dtype selects the MXU precision class (see _profile_kernel):
@@ -200,7 +207,8 @@ def fast_time_profile_pallas(
         interpret = jax.default_backend() not in ("tpu", "axon")
     precision = (jax.lax.Precision.HIGHEST if compute_dtype == jnp.float32
                  else jax.lax.Precision.DEFAULT)
-    f, pn, nts, _ = raw.shape
+    f, pn = raw.shape[0], raw.shape[1]
+    nts = cfg.nts
     k = cfg.range_fft_size
     m = build_fast_time_matrix(cfg)
     w = jnp.asarray(_packed_blocked_weight(m))  # [2·NTS, 2·K]

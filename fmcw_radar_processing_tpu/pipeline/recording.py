@@ -117,13 +117,21 @@ class RadarPipeline:
     def run_chain(self, raw: np.ndarray, calib: np.ndarray) -> FrameChainOutputs:
         """Run the jitted per-frame chain.
 
-        raw: [F, PN, NTS] complex (converted to the pair layout on host) or
-        already-pair [F, PN, NTS, 2] float32; calib likewise [NTS]/[NTS, 2].
+        raw: [F, PN, NTS] complex (converted to the pair layout on host),
+        pair [F, PN, NTS, 2] float32, or flat pair-rows [F, PN, 2·NTS];
+        calib likewise [NTS]/[NTS, 2].
+
+        Host NumPy input is reshaped to the FLAT row layout before crossing
+        the jit boundary — a free view on the host, but a measured ~8 ms
+        in-graph relayout per 65k frames if a [.., NTS, 2] device parameter
+        has to be reshaped on-chip (see PackedFastTime._flat_rows).
         """
         if np.iscomplexobj(raw) or raw.ndim == 3:
             raw = to_pair(np.asarray(raw))
         if np.iscomplexobj(calib) or calib.ndim == 1:
             calib = to_pair(np.asarray(calib))
+        if isinstance(raw, np.ndarray) and raw.ndim == 4 and raw.shape[-1] == 2:
+            raw = raw.reshape(*raw.shape[:2], -1)
         return self._chain(jnp.asarray(raw), jnp.asarray(calib))
 
     def _spectrogram_of_signal(self, signal: jax.Array, count: int):

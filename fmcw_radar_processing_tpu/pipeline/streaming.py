@@ -137,7 +137,9 @@ class StreamingProcessor:
 
         if self.mesh is not None:
             c_shard = NamedSharding(self.mesh, P(DATA_AXIS))
-            raw_sh = NamedSharding(self.mesh, P(DATA_AXIS, None, None, None, None))
+            # raw arrives as flat pair-rows [C, F, PN, 2·NTS]
+            # (process_window normalizes the pair layout before dispatch).
+            raw_sh = NamedSharding(self.mesh, P(DATA_AXIS, None, None, None))
             cal_sh = NamedSharding(self.mesh, P(DATA_AXIS, None, None))
             carry_sh = NamedSharding(self.mesh, P(DATA_AXIS, None))
             self._step = jax.jit(
@@ -159,8 +161,14 @@ class StreamingProcessor:
     ) -> StreamingWindowResult:
         """Process one window.
 
-        raw: [C, F, PN, NTS, 2] float32; calib: [C, NTS, 2] float32.
+        raw: [C, F, PN, 2·NTS] flat pair-rows (preferred — see
+        PackedFastTime._flat_rows for why the flat layout matters across
+        the jit boundary) or [C, F, PN, NTS, 2]; calib: [C, NTS, 2].
         """
+        if raw.ndim == 5:
+            raw = (raw.reshape(*raw.shape[:3], -1)
+                   if isinstance(raw, np.ndarray)
+                   else jnp.reshape(raw, (*raw.shape[:3], -1)))
         (wf, rng, spd, stg, det, psd, db, norm, n_cols, carry, carry_len,
          max_power) = self._step(
             jnp.asarray(raw), jnp.asarray(calib), self._carry,

@@ -90,6 +90,33 @@ def test_fused_chain_with_range_fft_output(cfg, rng):
     )
 
 
+def test_chain_flat_row_layout_matches_pair(cfg, rng):
+    """Flat [F, PN, 2·NTS] pair-rows (the TPU-layout-lean input format,
+    see PackedFastTime._flat_rows) must be bit-identical to the pair
+    layout across impls."""
+    import numpy as np
+
+    from fmcw_radar_processing_tpu.pipeline.frame_chain import make_frame_chain
+
+    from .test_pipeline import _mixed_recording, _tpu_layout
+
+    from fmcw_radar_processing_tpu.utils.cplx import to_pair
+
+    frames, calib = _mixed_recording(cfg, rng, f=8)
+    raw = to_pair(np.asarray(_tpu_layout(frames)))  # [F, PN, NTS, 2]
+    calib = to_pair(np.asarray(calib))
+    flat = np.asarray(raw).reshape(raw.shape[0], cfg.pn, -1)
+    for impl in ("fused", "xla", "pallas", "pallas_profile"):
+        chain = make_frame_chain(cfg, impl=impl)
+        a = chain(raw, calib)
+        b = chain(flat, calib)
+        np.testing.assert_array_equal(np.asarray(a.waterfall),
+                                      np.asarray(b.waterfall))
+        np.testing.assert_array_equal(np.asarray(a.strongest_chirps),
+                                      np.asarray(b.strongest_chirps))
+        np.testing.assert_array_equal(np.asarray(a.speed), np.asarray(b.speed))
+
+
 def test_fused_chain_no_detection_frames(cfg, rng):
     """Frames without targets: rf_at_bins runs on garbage idx, outputs NaN-
     gated by `detected` downstream — must not crash or emit false tracks."""
