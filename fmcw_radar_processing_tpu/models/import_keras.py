@@ -153,13 +153,23 @@ def import_vgg16_params(
             {p.split("/")[0] for p in weights
              if p.endswith("/kernel") and weights[p].ndim == 2}
         )
-        by_out_dim = {weights[f"{n}/kernel"].shape[1]: n for n in dense_layers}
         head = params["head"]
         for flax_name in ("fc", "out"):
-            want = np.asarray(head[flax_name]["kernel"]).shape
-            src = by_out_dim.get(want[1])
-            if src is None or weights[f"{src}/kernel"].shape != want:
+            want = tuple(np.asarray(head[flax_name]["kernel"]).shape)
+            # Match on the FULL (in, out) kernel shape — keying by out-dim
+            # alone silently picked the lexicographically-last layer when a
+            # file held two Dense layers of the same width.
+            cands = [n for n in dense_layers
+                     if tuple(weights[f"{n}/kernel"].shape) == want]
+            if not cands:
                 continue  # backbone-only file: head keeps template init
+            if len(cands) > 1:
+                raise ValueError(
+                    f"ambiguous Dense layers for head/{flax_name} "
+                    f"(kernel shape {want}): {cands} — rename layers in the "
+                    f"weight file to disambiguate"
+                )
+            src = cands[0]
             fill(("head", flax_name, "kernel"), weights[f"{src}/kernel"])
             fill(("head", flax_name, "bias"), weights[f"{src}/bias"])
 

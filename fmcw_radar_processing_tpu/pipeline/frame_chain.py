@@ -114,8 +114,7 @@ def make_frame_chain(
                                else jnp.float32),
             )
             det = search_peaks(profile, cfg)
-        elif (impl in ("fused", "fused_bf16", "pallas_profile",
-                       "pallas_profile_bf16") and not return_range_fft):
+        elif impl in ("fused", "fused_bf16") and not return_range_fft:
             profile = pft.profile(raw, calib)  # [F, K], rf never in HBM
             det = search_peaks(profile, cfg)  # [F, T]
         else:

@@ -42,6 +42,30 @@ from fmcw_radar_processing_tpu.pipeline.payloads import (
 from fmcw_radar_processing_tpu.utils.cplx import pair_abs, to_pair
 
 
+def _normalize_raw(raw: np.ndarray, nts: int) -> np.ndarray:
+    """Normalize any accepted raw layout to flat pair-rows [F, PN, 2·NTS].
+
+    Accepted: complex [F, PN, NTS], real [F, PN, NTS], pair
+    [F, PN, NTS, 2], or already-flat [F, PN, 2·NTS]. Disambiguation of the
+    ndim-3 real case is by last-dim size against ``nts`` (a real ndim-3
+    array whose last dim is 2·NTS is the flat layout, NOT a signal to
+    pair-ify — that ambiguity previously crashed flat float input)."""
+    raw = np.asarray(raw) if not isinstance(raw, jnp.ndarray) else raw
+    if np.iscomplexobj(raw):
+        raw = to_pair(np.asarray(raw))
+    elif raw.ndim == 3 and raw.shape[-1] == nts:
+        raw = to_pair(np.asarray(raw))  # real samples: imag = 0
+    elif raw.ndim == 3 and raw.shape[-1] != 2 * nts:
+        raise ValueError(
+            f"ndim-3 raw last dim {raw.shape[-1]} is neither NTS={nts} "
+            f"(samples) nor 2·NTS={2 * nts} (flat pair-rows)"
+        )
+    if raw.ndim == 4 and raw.shape[-1] == 2:
+        raw = (raw.reshape(*raw.shape[:2], -1) if isinstance(raw, np.ndarray)
+               else jnp.reshape(raw, (*raw.shape[:2], -1)))
+    return raw
+
+
 @dataclasses.dataclass
 class RecordingOutputs:
     """Full-recording ('no') mode results (arrays host-side NumPy)."""
@@ -126,12 +150,9 @@ class RadarPipeline:
         in-graph relayout per 65k frames if a [.., NTS, 2] device parameter
         has to be reshaped on-chip (see PackedFastTime._flat_rows).
         """
-        if np.iscomplexobj(raw) or raw.ndim == 3:
-            raw = to_pair(np.asarray(raw))
+        raw = _normalize_raw(raw, self.cfg.nts)
         if np.iscomplexobj(calib) or calib.ndim == 1:
             calib = to_pair(np.asarray(calib))
-        if isinstance(raw, np.ndarray) and raw.ndim == 4 and raw.shape[-1] == 2:
-            raw = raw.reshape(*raw.shape[:2], -1)
         return self._chain(jnp.asarray(raw), jnp.asarray(calib))
 
     def _spectrogram_of_signal(self, signal: jax.Array, count: int):
@@ -238,8 +259,7 @@ class RadarPipeline:
         from fmcw_radar_processing_tpu.utils.cplx import pair_abs, to_pair
 
         cfg = self.cfg
-        if np.iscomplexobj(raw) or raw.ndim == 3:
-            raw = to_pair(np.asarray(raw))
+        raw = _normalize_raw(raw, cfg.nts)
         if np.iscomplexobj(calib) or calib.ndim == 1:
             calib = to_pair(np.asarray(calib))
         f = raw.shape[0]

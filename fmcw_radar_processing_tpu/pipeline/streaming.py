@@ -195,18 +195,29 @@ def normalize_two_pass(
     window's dB against it. Feed it the ``psd``/``col_count`` fields of the
     StreamingWindowResults; returns per-window [C, nb, Lcap] dB arrays that
     match an offline whole-recording run bit-for-bit over valid columns.
+
+    Columns at index >= col_count are masked out of the max and floored in
+    the output — correctness does not rely on the operator having zeroed
+    them (it does today, but the mask makes this function robust to any
+    producer).
     """
+
+    def valid_mask(p: np.ndarray, cc) -> np.ndarray:
+        cols = np.arange(p.shape[-1])
+        return cols[None, None, :] < np.asarray(cc)[:, None, None]
+
     gmax = None
-    for p in window_psds:
-        w = np.max(np.asarray(p), axis=(-2, -1))  # [C] — invalid cols are 0
+    for p, cc in zip(window_psds, col_counts):
+        p = np.asarray(p)
+        w = np.max(np.where(valid_mask(p, cc), p, 0.0), axis=(-2, -1))  # [C]
         gmax = w if gmax is None else np.maximum(gmax, w)
     safe = np.where(gmax > 0, gmax, 1.0).astype(np.float64)[:, None, None]
     out = []
-    for p in window_psds:
+    for p, cc in zip(window_psds, col_counts):
         # float64: 1e-45 underflows to 0 in float32 and trips log10(0).
         p = np.asarray(p, np.float64)
         db = np.where(
-            p > 0,
+            (p > 0) & valid_mask(p, cc),
             np.maximum(20.0 * np.log10(np.maximum(p, 1e-300) / safe), DB_FLOOR),
             DB_FLOOR,
         )

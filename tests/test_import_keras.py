@@ -189,3 +189,13 @@ def test_load_pretrained_into_trainer(tmp_path, rng):
         np.asarray(trainer.state.params["backbone"]["block1_conv1"]["kernel"]),
         weights["block1_conv1/kernel"],
     )
+
+
+def test_ambiguous_dense_raises(rng):
+    """ADVICE r2: two Dense layers with identical (in, out) kernel shapes
+    must raise, not silently import the lexicographically-last one."""
+    w = _fabricate_weights(rng, with_head=True)
+    w["dense_2/kernel"] = rng.standard_normal((128, 256)).astype("f4")
+    w["dense_2/bias"] = rng.standard_normal(256).astype("f4")
+    with pytest.raises(ValueError, match="ambiguous"):
+        import_vgg16_params(_template(_tiny_model()), w)

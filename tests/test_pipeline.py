@@ -196,3 +196,38 @@ def test_activity_batch_matches_oracle_spectrogram(cfg, rng):
         np.testing.assert_allclose(
             np.asarray(got.payload["intensity"])[mask], intensity[mask], atol=0.05
         )
+
+
+def test_run_chain_accepts_all_raw_layouts(cfg, rng):
+    """ADVICE r2 (medium): the documented flat pair-row layout
+    [F, PN, 2·NTS] crashed run_chain — a real ndim-3 array was pair-ified
+    by ndim alone. All four accepted layouts must give identical outputs,
+    disambiguated by last-dim size."""
+    from fmcw_radar_processing_tpu.utils.cplx import to_pair
+
+    frames, calib = _mixed_recording(cfg, rng, f=8)
+    tpu = _tpu_layout(frames)  # [F, PN, NTS] complex
+    pipe = RadarPipeline(cfg)
+
+    ref = pipe.run_chain(tpu, calib)
+    pair = to_pair(tpu)  # [F, PN, NTS, 2]
+    flat = pair.reshape(*pair.shape[:2], -1)  # [F, PN, 2·NTS] real float!
+    for alt in (pair, flat):
+        got = pipe.run_chain(alt, calib)
+        np.testing.assert_array_equal(
+            np.asarray(got.waterfall), np.asarray(ref.waterfall)
+        )
+        np.testing.assert_array_equal(
+            np.asarray(got.detected), np.asarray(ref.detected)
+        )
+
+    # Real samples [F, PN, NTS] (imag = 0) go through to_pair, not crash.
+    real = np.ascontiguousarray(tpu.real)
+    out_real = pipe.run_chain(real, calib)
+    assert np.asarray(out_real.waterfall).shape == ref.waterfall.shape
+
+    # An ndim-3 last dim that is neither NTS nor 2·NTS is rejected loudly.
+    import pytest
+
+    with pytest.raises(ValueError, match="neither"):
+        pipe.run_chain(np.zeros((4, cfg.pn, cfg.nts + 3), np.float32), calib)

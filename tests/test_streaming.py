@@ -222,3 +222,23 @@ def test_db_modes_and_two_pass_parity(cfg, rng):
         two[0][0][:, :n1][valid],
         rtol=1e-4, atol=2e-2,
     )
+
+
+def test_two_pass_masks_invalid_columns(cfg, rng):
+    """ADVICE r2: normalize_two_pass must not trust producers to zero
+    invalid columns — garbage past col_count is excluded from the global
+    max and floored in the output."""
+    from fmcw_radar_processing_tpu.dsp.stft import DB_FLOOR
+    from fmcw_radar_processing_tpu.pipeline.streaming import normalize_two_pass
+
+    c, nb, lcap = 2, 5, 8
+    cc = np.array([3, 6])
+    psd = np.abs(rng.standard_normal((c, nb, lcap))).astype("f4")
+    clean = psd * (np.arange(lcap)[None, None, :] < cc[:, None, None])
+    dirty = clean.copy()
+    dirty[:, :, -1] = 1e9  # garbage in an invalid column on both channels
+
+    want = normalize_two_pass([clean], [cc])[0]
+    got = normalize_two_pass([dirty], [cc])[0]
+    np.testing.assert_array_equal(got, want)
+    assert np.all(got[0][:, 3:] == DB_FLOOR)  # invalid columns floored
