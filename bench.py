@@ -32,15 +32,33 @@ PEAK_FLOPS = {
     "TPU v6 lite": 918e12,
 }
 
+# Peak HBM bandwidth per chip (public specs). The chain is bandwidth-bound
+# (MFU of a few percent but most of HBM consumed), so the roofline that
+# matters is bytes/s, not FLOP/s.
+PEAK_HBM_GBPS = {
+    "TPU v5 lite": 819.0,  # v5e: 16 GB HBM2 @ ~819 GB/s
+    "TPU v4": 1228.0,
+    "TPU v5p": 2765.0,
+    "TPU v6 lite": 1638.0,
+}
 
-def chip_peak_flops() -> float | None:
+
+def _chip_peak(table) -> float | None:
     import jax
 
     kind = jax.devices()[0].device_kind
-    for name, peak in PEAK_FLOPS.items():
+    for name, peak in table.items():
         if kind.startswith(name):
             return peak
     return None
+
+
+def chip_peak_flops() -> float | None:
+    return _chip_peak(PEAK_FLOPS)
+
+
+def chip_peak_hbm_gbps() -> float | None:
+    return _chip_peak(PEAK_HBM_GBPS)
 
 
 # ---------------------------------------------------------------------------
@@ -61,6 +79,45 @@ def chain_flops_per_frame(cfg, stft_nfft: int, with_rescale: bool = True) -> flo
     stft = pn * 2 * (2.0 * nb * wl)  # PN new columns/frame, re+im matmuls
     rescale = pn * (2.0 * cfg.algorithm.max_freq_bins * nb) if with_rescale else 0.0
     return fast_time + rf_rows + doppler + stft + rescale
+
+
+def chain_bytes_per_frame(cfg, stft_nfft: int, with_rescale: bool = True,
+                          intensity_bytes: int = 4) -> float:
+    """Analytic HBM bytes/frame of the fused full chain (f32 = 4 B).
+
+    Minimal-traffic model under XLA fusion: each matmul result is written
+    once and read once by its (fused-elementwise) consumer; elementwise
+    chains do not round-trip. Terms, per frame (PN slow-time samples):
+
+      raw          read twice — profile matmul + rf_at_bins recompute
+      waterfall    [K] write + fingerprint read
+      frame matrix [W, PN] write + one read each by the re/im STFT matmuls
+      s_re, s_im   [nb, PN] written by the two matmuls, read by the fused
+                   PSD epilogue
+      psd→dB       [nb, PN] one write (PSD/dB elementwise chain fuses),
+                   one read each by the global-max pass and the rescale
+      intensity    [1024, PN] write + fingerprint read (``intensity_bytes``
+                   per element — 4 f32, 2 bf16)
+
+    Small terms (detection outputs, packed rows, argsort keys, the [F·PN]
+    magnitude signal) are included where ≥ 64 B/frame, dropped otherwise.
+    The model is deliberately *minimal*: achieved-GB/s computed against it
+    is a lower bound on true traffic, so hbm_pct is conservative.
+    """
+    pn, nts, k = cfg.pn, cfg.nts, cfg.range_fft_size
+    nb = stft_nfft // 2 + 1
+    wl = cfg.algorithm.stft_window_length
+    raw = 2 * (pn * 2 * nts * 4)
+    waterfall = 2 * (k * 4)
+    pack = 4 * (pn * 2 * 4)  # strongest rows w+r, packed gather w+r
+    sig = 2 * (pn * 4)  # |slow-time| magnitude write + framing read
+    frames_mat = 3 * (wl * pn * 4)
+    s_parts = 4 * (nb * pn * 4)
+    psd = 3 * (nb * pn * 4)
+    rescale = (2 * (cfg.algorithm.max_freq_bins * pn * intensity_bytes)
+               if with_rescale else 0)
+    return float(raw + waterfall + pack + sig + frames_mat + s_parts + psd
+                 + rescale)
 
 
 # ---------------------------------------------------------------------------
@@ -91,6 +148,7 @@ def _make_full(cfg, impl: str, nfft: int):
         nfft=nfft,
         fs=1.0 / cfg.derived.prt,
         hop=cfg.algorithm.stft_hop or 1,
+        precision=cfg.algorithm.matmul_precision,
     )
 
     @jax.jit
@@ -99,8 +157,10 @@ def _make_full(cfg, impl: str, nfft: int):
         sig, count = pack_slow_time(out.strongest_chirps, out.detected, cfg.pn)
         res = op(pair_abs(sig), valid_len=count)
         db = psd_db(res)
-        _, intensity = log_frequency_rescale(res.freqs, db,
-                                             cfg.algorithm.max_freq_bins)
+        _, intensity = log_frequency_rescale(
+            res.freqs, db, cfg.algorithm.max_freq_bins,
+            precision=cfg.algorithm.matmul_precision,
+        )
         # Full-reduction fingerprint: forces every artifact to be fully
         # computed and adds one conservative extra read of the [1024, F·PN]
         # intensity (~5 ms at HBM rate for 65k frames). Returning the
@@ -182,6 +242,56 @@ def _time_steady(scalar_fn, args, inner: int = 8, iters: int = 3) -> float:
     dt = (bn - b1) / (inner - 1)
     if dt <= 0:  # timing noise swamped the difference (tiny workloads on
         dt = bn / inner  # CPU smoke runs): fall back to the inclusive rate
+    return dt
+
+
+def _bench_streaming_steady(sp, raw_c, calib_c, inner: int = 8,
+                            iters: int = 3) -> float:
+    """Steady-state seconds per streaming window.
+
+    Chains ``inner`` windows inside ONE dispatched program, threading the
+    carry/running-max state exactly as deployment does, and differences
+    against a 1-window program to remove the dispatch constant. The
+    optimization_barrier re-derives the (constant) raw input from the
+    loop-carried accumulator each iteration so XLA cannot hoist the frame
+    chain out of the loop."""
+    import jax
+    import jax.numpy as jnp
+    from jax import lax
+
+    def make(n):
+        @jax.jit
+        def run(raw, calib, carry, clen, mp):
+            def body(_, st):
+                carry, clen, mp, acc = st
+                acc, raw_b, calib_b = lax.optimization_barrier(
+                    (acc, raw, calib)
+                )
+                outs = sp._step(raw_b, calib_b, carry, clen, mp)
+                wf, psd = outs[0], outs[5]
+                acc = acc + jnp.sum(psd[..., -1]) + jnp.sum(wf[..., -1, :])
+                return (outs[9], outs[10], outs[11], acc)
+
+            st0 = (carry, clen, mp, jnp.float32(0.0))
+            return lax.fori_loop(0, n, body, st0)[3]
+
+        return run
+
+    args = (raw_c, calib_c, sp._carry, sp._carry_len, sp._max_power)
+    r1, rn = make(1), make(inner)
+    float(r1(*args))
+    float(rn(*args))
+    b1 = bn = float("inf")
+    for _ in range(iters):
+        t0 = time.perf_counter()
+        float(r1(*args))
+        b1 = min(b1, time.perf_counter() - t0)
+        t0 = time.perf_counter()
+        float(rn(*args))
+        bn = min(bn, time.perf_counter() - t0)
+    dt = (bn - b1) / (inner - 1)
+    if dt <= 0:
+        dt = bn / inner
     return dt
 
 
@@ -328,8 +438,11 @@ def run_matrix(quick: bool = False) -> list[dict]:
     calib = rec.calib_pair(0, cfg.nts)
     rows: list[dict] = []
     fpf = chain_flops_per_frame(cfg, nfft)
+    bpf = chain_bytes_per_frame(cfg, nfft)
+    hbm_peak = chip_peak_hbm_gbps()
 
-    def add(config, impl, fps, flops_per_frame, extra=None):
+    def add(config, impl, fps, flops_per_frame, extra=None,
+            bytes_per_frame=None):
         tf = fps * flops_per_frame
         row = {
             "config": config,
@@ -339,11 +452,20 @@ def run_matrix(quick: bool = False) -> list[dict]:
             "tflops": round(tf / 1e12, 3),
             "mfu_pct": round(100 * tf / peak, 3) if peak else None,
         }
+        if bytes_per_frame is not None:
+            gbps = fps * bytes_per_frame / 1e9
+            row["est_kb_per_frame"] = round(bytes_per_frame / 1024, 1)
+            row["achieved_gbps"] = round(gbps, 1)
+            row["hbm_pct"] = (round(100 * gbps / hbm_peak, 1)
+                              if hbm_peak else None)
         row.update(extra or {})
         rows.append(row)
         print(json.dumps(row), flush=True)
 
     # -- BASELINE config 1: single synthetic IQ frame, fast-time + magnitude
+    # Two numbers: chip latency (steady-state, on-device repeat — what a
+    # locally-dispatched deployment sees) and e2e latency including one
+    # tunneled host↔device dispatch (what THIS harness sees per call).
     from fmcw_radar_processing_tpu.dsp.fast_time import PackedFastTime
 
     pft = PackedFastTime.create(cfg)
@@ -353,10 +475,12 @@ def run_matrix(quick: bool = False) -> list[dict]:
         return jnp.sum(pft.profile(raw_d, calib_d))
 
     one = jnp.asarray(raw_all[:1])
-    dt = _time_call(single_ft, (one, jnp.asarray(calib)))
+    dt_e2e = _time_call(single_ft, (one, jnp.asarray(calib)))
+    dt = _time_steady(single_ft, (one, jnp.asarray(calib)), inner=256)
     add("1_single_frame_fast_time", "fused", 1.0 / dt,
         2.0 * cfg.pn * 2 * cfg.nts * 2 * cfg.range_fft_size,
-        {"latency_us": round(dt * 1e6, 1)})
+        {"chip_latency_us": round(dt * 1e6, 1),
+         "e2e_latency_us": round(dt_e2e * 1e6, 1)})
 
     # -- BASELINE config 2: full single-frame chain -> range-speed
     from fmcw_radar_processing_tpu.pipeline.frame_chain import make_frame_chain
@@ -370,53 +494,59 @@ def run_matrix(quick: bool = False) -> list[dict]:
                 + jnp.sum(jnp.nan_to_num(out.range))
                 + jnp.sum(jnp.nan_to_num(out.speed)))
 
-    dt = _time_call(single_full, (one, jnp.asarray(calib)))
+    dt_e2e = _time_call(single_full, (one, jnp.asarray(calib)))
+    dt = _time_steady(single_full, (one, jnp.asarray(calib)), inner=256)
     add("2_single_frame_full_chain", "fused", 1.0 / dt,
         chain_flops_per_frame(cfg, nfft, with_rescale=False),
-        {"latency_us": round(dt * 1e6, 1)})
+        {"chip_latency_us": round(dt * 1e6, 1),
+         "e2e_latency_us": round(dt_e2e * 1e6, 1)})
 
     # -- BASELINE config 3: multi-frame STFT spectrogram
     f_mid = min(4096, f_big)
     fps = bench_tpu(cfg, raw_all[:f_mid], calib, nfft=nfft)
-    add("3_multi_frame_stft", "fused", fps, fpf)
+    add("3_multi_frame_stft", "fused", fps, fpf, bytes_per_frame=bpf)
 
-    # -- BASELINE config 4: batched recording replay x impls + SNR
-    impls = ("xla", "fused", "fused_bf16", "pallas", "pallas_profile",
-             "pallas_profile_bf16")
-    for impl in impls:
-        fps = bench_tpu(cfg, raw_all, calib, impl=impl, nfft=nfft)
-        extra = {"frames": f_big}
+    # -- BASELINE config 4: batched recording replay x (impl, precision) +
+    # SNR. The grid records the fidelity/speed frontier: f32 impls at MXU
+    # precision highest (true f32, the production default) vs high (3-pass)
+    # vs default (1 bf16 pass — what every f32 matmul silently got before
+    # r3), plus the explicit-bf16 variants.
+    variants = (
+        ("xla", "highest"), ("fused", "highest"), ("fused", "high"),
+        ("fused", "default"), ("fused_bf16", "default"),
+        ("pallas", "highest"), ("pallas_profile", "highest"),
+        ("pallas_profile_bf16", "default"),
+    )
+    for impl, prec in variants:
+        cfg_v = dataclasses.replace(
+            cfg, algorithm=dataclasses.replace(
+                cfg.algorithm, matmul_precision=prec)
+        )
+        fps = bench_tpu(cfg_v, raw_all, calib, impl=impl, nfft=nfft)
+        extra = {"frames": f_big, "precision": prec}
         try:
-            extra.update(snr_vs_oracle(cfg, rec, impl, nfft))
+            extra.update(snr_vs_oracle(cfg_v, rec, impl, nfft))
         except Exception as e:  # oracle comparison must never kill the bench
             extra["snr_error"] = repr(e)
-        add("4_batched_replay", impl, fps, fpf, extra)
+        add("4_batched_replay", impl, fps, fpf, extra, bytes_per_frame=bpf)
 
-    # -- BASELINE config 5: streaming 8-channel
+    # -- BASELINE config 5: streaming 8-channel, steady-state: windows
+    # chained on-device through the carry (the deployed shape — a resident
+    # stream processor fed from device buffers, no per-window dispatch).
     from fmcw_radar_processing_tpu.pipeline.streaming import StreamingProcessor
 
     c, wf = 8, 256
     sp = StreamingProcessor(cfg, channels=c, window_frames=wf, nfft=nfft)
-    # Device-resident inputs: a deployed streaming system feeds from device
-    # buffers; including the tunnel's host->device upload would measure the
-    # test harness's network, not the chip.
     raw_c = jax.device_put(
         np.broadcast_to(raw_all[:wf], (c, wf, cfg.pn, cfg.nts, 2))
         .reshape(c, wf, cfg.pn, -1).copy()  # flat pair-rows
     )
     calib_c = jax.device_put(np.broadcast_to(calib, (c, cfg.nts, 2)).copy())
-    sp.process_window(raw_c, calib_c)  # warmup/compile
-    depth = 4  # windows chain through the device-resident carry; dispatch
-    best = float("inf")  # pipelines, so sync once per batch of windows
-    for _ in range(5):
-        t0 = time.perf_counter()
-        out = None
-        for _ in range(depth):
-            out = sp.process_window(raw_c, calib_c)
-        float(jnp.sum(out.psd[..., -1]) + jnp.sum(out.waterfall[..., -1, :]))
-        best = min(best, time.perf_counter() - t0)
-    add("5_streaming_8ch", "fused", c * wf * depth / best, fpf,
-        {"channels": c, "window_frames": wf})
+    dt_win = _bench_streaming_steady(sp, raw_c, calib_c)
+    add("5_streaming_8ch", "fused", c * wf / dt_win, fpf,
+        {"channels": c, "window_frames": wf,
+         "window_latency_us": round(dt_win * 1e6, 1)},
+        bytes_per_frame=chain_bytes_per_frame(cfg, nfft, with_rescale=False))
 
     # -- Fidelity mode: literal reference STFT (hop 1, nfft = 2^nextpow2(L))
     f_fid = 1024 if not quick else 256
@@ -428,11 +558,17 @@ def run_matrix(quick: bool = False) -> list[dict]:
     add("6_fidelity_stft_nextpow2", "fused", fps_fid,
         chain_flops_per_frame(cfg_fid, nfft_fid),
         {"frames": f_fid, "nfft": nfft_fid,
-         "fidelity_cost_x": round(fps_prod / fps_fid, 2)})
+         "fidelity_cost_x": round(fps_prod / fps_fid, 2)},
+        bytes_per_frame=chain_bytes_per_frame(cfg_fid, nfft_fid))
 
     meta = {
         "device_kind": backend,
         "peak_flops_assumed": peak,
+        "peak_hbm_gbps_assumed": hbm_peak,
+        "methodology": "steady-state on-device repetition for every row "
+                       "(configs 1/2 also record e2e latency incl. one "
+                       "tunneled dispatch); bytes model documented at "
+                       "chain_bytes_per_frame",
         "note": "MFU against bf16 peak for all rows (f32 rows cannot exceed "
                 "it; conservative and cross-dtype comparable)",
     }

@@ -77,6 +77,16 @@ class AlgorithmConfig:
     max_freq_bins: int = 1024  # log-frequency output bins, :293
     batch_size: int = 100  # activity-mode frames per batch, :189
     max_plots: int = 4  # activity-mode spectrogram cap, :443
+    # MXU pass count for f32 matmuls ("default" = 1 bf16 pass, "high" = 3,
+    # "highest" = 6). TPU MXUs multiply in bfloat16; a nominally-f32 matmul
+    # at DEFAULT precision quantizes both operands to 8-bit mantissas —
+    # measured on a v5e this is what capped the chain's waterfall SNR at
+    # ~55 dB and the spectrogram at ~36 dB vs the f64 oracle
+    # (SNR_LADDER.json; the same code on CPU holds 140 dB). "highest"
+    # recovers true f32 results; the throughput cost is recorded per
+    # precision in BENCH_MATRIX.json. The bf16 impl variants are the
+    # explicit speed knob and ignore this setting.
+    matmul_precision: str = "highest"
     # --- literal-compat flags (SURVEY Appendix A; default = intent) ---
     # Quirk #1: the 'no' branch writes target_measurements.(fr_idx, j) into
     # arrays preallocated zeros(T, F) (radar_processing.m:157-159 vs

@@ -130,18 +130,23 @@ class PackedFastTime:
     w: np.ndarray  # (2·NTS, 2·K) float32 packed weight
     nts: int
     k: int
-    # MXU input precision for the DFT matmul. float32 (default) is exact;
-    # bfloat16 halves HBM traffic of the dominant operand and doubles MXU
-    # rate — accumulation stays float32 (preferred_element_type), so only
-    # the 8-bit-mantissa quantization of inputs/weights is lost. The
-    # accuracy cost is measured, not guessed: bench.py's matrix records
-    # range-profile SNR per dtype (~40 dB for bf16 — far above the
-    # detection thresholds' needs; use f32 where bit-fidelity matters).
+    # MXU input precision for the DFT matmul. float32 (default) is exact
+    # when paired with precision="highest"; bfloat16 halves HBM traffic of
+    # the dominant operand and runs single-pass MXU — accumulation stays
+    # float32 (preferred_element_type), so only the 8-bit-mantissa
+    # quantization of inputs/weights is lost. The accuracy cost is
+    # measured, not guessed: bench.py's matrix records SNR per variant.
     compute_dtype: jnp.dtype = jnp.float32
+    # MXU pass count for the f32 path ("default"/"high"/"highest" = 1/3/6
+    # bf16 passes). See AlgorithmConfig.matmul_precision — DEFAULT silently
+    # quantizes f32 operands to bf16 on TPU. Ignored for bf16 inputs
+    # (already single-pass exact in the input dtype).
+    precision: str = "highest"
 
     @classmethod
     def create(
-        cls, cfg: RadarConfig, compute_dtype: jnp.dtype = jnp.float32
+        cls, cfg: RadarConfig, compute_dtype: jnp.dtype = jnp.float32,
+        precision: str | None = None,
     ) -> "PackedFastTime":
         m = build_fast_time_matrix(cfg)  # (K, NTS) complex
         k, nts = m.shape
@@ -150,7 +155,16 @@ class PackedFastTime:
         w[0::2, 1::2] = m.imag.T
         w[1::2, 0::2] = -m.imag.T
         w[1::2, 1::2] = m.real.T
-        return cls(w=w, nts=nts, k=k, compute_dtype=compute_dtype)
+        if precision is None:
+            precision = cfg.algorithm.matmul_precision
+        return cls(w=w, nts=nts, k=k, compute_dtype=compute_dtype,
+                   precision=precision)
+
+    @property
+    def _prec(self):
+        from fmcw_radar_processing_tpu.utils.cplx import mxu_precision
+
+        return mxu_precision(self.precision)
 
     def _matmul(self, x: jax.Array) -> jax.Array:
         """x [..., 2·NTS] @ W, inputs in compute_dtype, f32 accumulate.
@@ -165,16 +179,21 @@ class PackedFastTime:
         if self.compute_dtype != jnp.float32:
             x = jax.lax.optimization_barrier(x.astype(self.compute_dtype))
             w = jax.lax.optimization_barrier(w.astype(self.compute_dtype))
-        return jnp.matmul(x, w, preferred_element_type=jnp.float32)
+            return jnp.matmul(x, w, preferred_element_type=jnp.float32)
+        return jnp.matmul(x, w, preferred_element_type=jnp.float32,
+                          precision=self._prec)
 
     def offset(self, calib: jax.Array) -> jax.Array:
         """M @ calib as a pair [K, 2] (the affine calibration part).
 
-        Always float32 — it is a single [1, 2K] vector; quantizing it
-        would bias every bin for zero bandwidth savings.
+        Always float32 at full precision — it is a single [1, 2K] vector;
+        quantizing it would bias every bin for zero bandwidth savings.
         """
         flat = calib.astype(jnp.float32).reshape(1, 2 * self.nts)
-        return (flat @ jnp.asarray(self.w)).reshape(self.k, 2)
+        return jnp.matmul(
+            flat, jnp.asarray(self.w),
+            precision=jax.lax.Precision.HIGHEST,
+        ).reshape(self.k, 2)
 
     def _flat_rows(self, raw: jax.Array) -> jax.Array:
         """Normalize raw chirps to flat pair-rows [..., 2·NTS].
@@ -219,7 +238,8 @@ class PackedFastTime:
         x = self._flat_rows(raw).reshape(f, -1, 2 * self.nts)  # [F,PN,2NTS]
         cols = (idx[..., None] * 2 + jnp.arange(2)).reshape(f, 2 * t)
         w_sel = jnp.asarray(self.w).T[cols]  # [F, 2T, 2NTS]
-        y = jnp.einsum("fpn,ftn->fpt", x, w_sel)  # [F, PN, 2T]
+        y = jnp.einsum("fpn,ftn->fpt", x, w_sel,
+                       precision=self._prec)  # [F, PN, 2T]
         y = y.reshape(f, x.shape[1], t, 2)
         off = self.offset(calib)[idx]  # [F, T, 2]
         return y - off[:, None]

@@ -68,11 +68,15 @@ class StftOperator:
     hop: int
     fs: float
     scale: float  # 1 / (fs · Σw²)
+    # MXU pass count for the framed matmuls (see
+    # AlgorithmConfig.matmul_precision — TPU DEFAULT quantizes f32
+    # operands to bf16; "highest" recovers true f32).
+    precision: str = "highest"
 
     @classmethod
     def create(
         cls, *, window_length: int = 20, beta: float = 3.0, nfft: int,
-        fs: float, hop: int = 1,
+        fs: float, hop: int = 1, precision: str = "highest",
     ) -> "StftOperator":
         w = kaiser(window_length, beta)
         nb = nfft // 2 + 1
@@ -87,6 +91,7 @@ class StftOperator:
             hop=hop,
             fs=float(fs),
             scale=float(1.0 / (fs * np.sum(w**2))),
+            precision=precision,
         )
 
     @property
@@ -116,9 +121,14 @@ class StftOperator:
         valid_len: optional scalar/batched count of valid samples in x; STFT
           columns extending past it are masked out (fixed-capacity idiom).
         """
+        from fmcw_radar_processing_tpu.utils.cplx import mxu_precision
+
+        prec = mxu_precision(self.precision)
         frames = self.frame_signal(x.astype(jnp.float32))  # [..., W, T]
-        s_re = jnp.einsum("bw,...wt->...bt", jnp.asarray(self.a_re), frames)
-        s_im = jnp.einsum("bw,...wt->...bt", jnp.asarray(self.a_im), frames)
+        s_re = jnp.einsum("bw,...wt->...bt", jnp.asarray(self.a_re), frames,
+                          precision=prec)
+        s_im = jnp.einsum("bw,...wt->...bt", jnp.asarray(self.a_im), frames,
+                          precision=prec)
         p = (s_re * s_re + s_im * s_im) * jnp.float32(self.scale)
         # One-sided doubling: every bin except DC and (even nfft) Nyquist.
         nb = self.num_bins
@@ -189,7 +199,8 @@ def _log_interp_matrix(nb: int, num_bins: int) -> np.ndarray:
 
 
 def log_frequency_rescale(
-    freqs: jax.Array, values: jax.Array, num_bins: int = 1024
+    freqs: jax.Array, values: jax.Array, num_bins: int = 1024,
+    precision: str = "highest",
 ) -> tuple[jax.Array, jax.Array]:
     """Log-spaced frequency re-gridding (radar_processing.m:291-299).
 
@@ -210,5 +221,8 @@ def log_frequency_rescale(
         np.logspace(0.0, np.log10(nb - 1), num_bins, dtype=np.float64)
         .astype(np.float32)
     )
-    interp = jnp.einsum("on,...nt->...ot", w, values)
+    from fmcw_radar_processing_tpu.utils.cplx import mxu_precision
+
+    interp = jnp.einsum("on,...nt->...ot", w, values,
+                        precision=mxu_precision(precision))
     return log_bins, interp

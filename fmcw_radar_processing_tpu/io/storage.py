@@ -66,11 +66,15 @@ class AzureBlobStorage:
         container: str | None = None,
         sas_token: str | None = None,
         timeout: float = 60.0,  # webwrite timeout, send_json_string_to_blob_storage.m:17
+        endpoint: str | None = None,  # custom endpoint (Azurite emulator /
+        # sovereign clouds / the test stub); None = public Azure
     ):
         self.account = account or os.environ.get("FMCW_AZURE_ACCOUNT", "")
         self.container = container or os.environ.get("FMCW_AZURE_CONTAINER", "")
         self.sas_token = sas_token or os.environ.get("FMCW_AZURE_SAS", "")
         self.timeout = timeout
+        self.endpoint = (endpoint or os.environ.get("FMCW_AZURE_ENDPOINT")
+                         or f"https://{self.account}.blob.core.windows.net")
         if not self.account or not self.container:
             raise ValueError(
                 "AzureBlobStorage needs account+container (args or "
@@ -78,7 +82,7 @@ class AzureBlobStorage:
             )
 
     def _url(self, name: str) -> str:
-        base = f"https://{self.account}.blob.core.windows.net/{self.container}"
+        base = f"{self.endpoint.rstrip('/')}/{self.container}"
         sas = f"?{self.sas_token}" if self.sas_token else ""
         return f"{base}/{name}{sas}"
 

@@ -38,14 +38,17 @@ def _kernel(xr_ref, xi_ref, mr_ref, mi_ref, offr_ref, offi_ref,
     xi = xi_ref[:]
     mr = mr_ref[:]  # [NTS, K]
     mi = mi_ref[:]
+    # HIGHEST = true f32 MXU passes; DEFAULT would quantize operands to
+    # bf16 (see _profile_kernel's precision note and dsp/fast_time.py).
+    hi = jax.lax.Precision.HIGHEST
     yr = (
-        jnp.dot(xr, mr, preferred_element_type=jnp.float32)
-        - jnp.dot(xi, mi, preferred_element_type=jnp.float32)
+        jnp.dot(xr, mr, preferred_element_type=jnp.float32, precision=hi)
+        - jnp.dot(xi, mi, preferred_element_type=jnp.float32, precision=hi)
         - offr_ref[:]
     )
     yi = (
-        jnp.dot(xr, mi, preferred_element_type=jnp.float32)
-        + jnp.dot(xi, mr, preferred_element_type=jnp.float32)
+        jnp.dot(xr, mi, preferred_element_type=jnp.float32, precision=hi)
+        + jnp.dot(xi, mr, preferred_element_type=jnp.float32, precision=hi)
         - offi_ref[:]
     )
     yr_ref[:] = yr

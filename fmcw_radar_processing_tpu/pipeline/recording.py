@@ -123,6 +123,7 @@ class RadarPipeline:
             nfft=nfft,
             fs=1.0 / cfg.derived.prt,
             hop=a.stft_hop or 1,
+            precision=a.matmul_precision,
         )
 
         @jax.jit
@@ -130,7 +131,8 @@ class RadarPipeline:
             res = op(signal_abs, valid_len=valid_len)
             db = psd_db(res)
             log_bins, intensity = log_frequency_rescale(
-                res.freqs, db, a.max_freq_bins
+                res.freqs, db, a.max_freq_bins,
+                precision=a.matmul_precision,
             )
             return res.times, log_bins, intensity, res.freqs, db
 

@@ -88,6 +88,7 @@ class StreamingProcessor:
             nfft=self.nfft,
             fs=1.0 / cfg.derived.prt,
             hop=1,
+            precision=a.matmul_precision,
         )
         pn = cfg.pn
         wl = self._wl

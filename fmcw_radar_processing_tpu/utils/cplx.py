@@ -44,8 +44,30 @@ def pair_abs(x: jax.Array) -> jax.Array:
     return jnp.sqrt(x[..., 0] * x[..., 0] + x[..., 1] * x[..., 1])
 
 
+def mxu_precision(name: str) -> "jax.lax.Precision":
+    """Map a config string to the XLA dot precision.
+
+    TPU MXUs multiply in bfloat16; an f32 matmul is realized as 1
+    ("default"), 3 ("high"), or 6 ("highest") bf16 passes. DEFAULT
+    quantizes both operands to 8-bit mantissas — enough to cap the radar
+    chain's oracle SNR at ~55 dB (see AlgorithmConfig.matmul_precision).
+    """
+    try:
+        return {
+            "default": jax.lax.Precision.DEFAULT,
+            "high": jax.lax.Precision.HIGH,
+            "highest": jax.lax.Precision.HIGHEST,
+        }[name]
+    except KeyError:
+        raise ValueError(
+            f"unknown matmul precision {name!r} "
+            f"(expected default|high|highest)"
+        ) from None
+
+
 def pair_matmul(
-    x: jax.Array, m_re: jax.Array, m_im: jax.Array, spec: str
+    x: jax.Array, m_re: jax.Array, m_im: jax.Array, spec: str,
+    precision: str = "highest",
 ) -> jax.Array:
     """Complex contraction of a pair array with a constant complex matrix.
 
@@ -53,8 +75,13 @@ def pair_matmul(
     spec: einsum spec for ONE real contraction (e.g. '...pn,kn->...pk').
     Returns the pair result [..., 2] via 4 real einsums (XLA fuses the
     adds; the matrices are trace-time constants so CSE shares operands).
+    Defaults to true-f32 MXU passes — pair_matmul sits on fidelity paths;
+    the bf16 impl variants are the explicit speed knob.
     """
+    prec = mxu_precision(precision)
     xr, xi = x[..., 0], x[..., 1]
-    yr = jnp.einsum(spec, xr, m_re) - jnp.einsum(spec, xi, m_im)
-    yi = jnp.einsum(spec, xr, m_im) + jnp.einsum(spec, xi, m_re)
+    yr = (jnp.einsum(spec, xr, m_re, precision=prec)
+          - jnp.einsum(spec, xi, m_im, precision=prec))
+    yi = (jnp.einsum(spec, xr, m_im, precision=prec)
+          + jnp.einsum(spec, xi, m_re, precision=prec))
     return jnp.stack([yr, yi], axis=-1)
