@@ -49,7 +49,8 @@ def snr_db(got, want, mask=None) -> float:
     return float(-20.0 * np.log10(err / max(ref, 1e-300)))
 
 
-def build_ladder(frames: int = 256, nfft: int = 256, seed: int = 0) -> dict:
+def build_ladder(frames: int = 256, nfft: int = 256, seed: int = 0,
+                 precision: str = "highest") -> dict:
     from fmcw_radar_processing_tpu.config import (
         AlgorithmConfig,
         RadarConfig,
@@ -77,8 +78,12 @@ def build_ladder(frames: int = 256, nfft: int = 256, seed: int = 0) -> dict:
         spectrogram_oracle,
     )
 
-    cfg = RadarConfig.create(default_device_config(),
-                             AlgorithmConfig(stft_nfft=nfft))
+    import jax
+
+    cfg = RadarConfig.create(
+        default_device_config(),
+        AlgorithmConfig(stft_nfft=nfft, matmul_precision=precision),
+    )
     rec = synthesize_recording(
         cfg, frames,
         (SyntheticTarget(range_m=7.5, doppler_bin_offset=3,
@@ -89,25 +94,35 @@ def build_ladder(frames: int = 256, nfft: int = 256, seed: int = 0) -> dict:
     raw = rec.rx1_pair()
     calib = rec.calib_pair(0, cfg.nts)
 
-    # ---- f32 pipeline ----
+    # ---- f32 pipeline (every device stage jitted — the tunneled TPU
+    # runtime charges ~24 ms per eager dispatch, so eager jnp here never
+    # finishes) ----
     chain = make_frame_chain(cfg)
+    op = StftOperator.create(
+        window_length=cfg.algorithm.stft_window_length,
+        beta=cfg.algorithm.stft_kaiser_beta, nfft=nfft,
+        fs=1.0 / cfg.derived.prt, hop=1, precision=precision,
+    )
+
+    @jax.jit
+    def stft_stage(sig, count):
+        res = op(pair_abs(sig), valid_len=count)
+        db = psd_db(res)
+        _, intensity = log_frequency_rescale(
+            res.freqs, db, cfg.algorithm.max_freq_bins, precision=precision
+        )
+        return res.power, db, intensity, res.freqs
+
     out = chain(raw.reshape(frames, cfg.pn, -1), calib)
     sig, count_dev = pack_slow_time(out.strongest_chirps, out.detected, cfg.pn)
     count = int(count_dev)
     mag = np.asarray(pair_abs(sig))[:count]
     slow_c = np.asarray(from_pair(sig))[:count]
-    op = StftOperator.create(
-        window_length=cfg.algorithm.stft_window_length,
-        beta=cfg.algorithm.stft_kaiser_beta, nfft=nfft,
-        fs=1.0 / cfg.derived.prt, hop=1,
-    )
-    res = op(pair_abs(sig), valid_len=count_dev)
+    power_d, db_d, int_d, _freqs = stft_stage(sig, count_dev)
     ncols = count - cfg.algorithm.stft_window_length + 1
-    p32 = np.asarray(res.power)[:, :ncols]
-    db32 = np.asarray(psd_db(res))[:, :ncols]
-    _, int32 = log_frequency_rescale(res.freqs, psd_db(res),
-                                     cfg.algorithm.max_freq_bins)
-    int32 = np.asarray(int32)[:, :ncols]
+    p32 = np.asarray(power_d)[:, :ncols]
+    db32 = np.asarray(db_d)[:, :ncols]
+    int32 = np.asarray(int_d)[:, :ncols]
 
     # ---- f64 oracle ----
     raw_matlab = np.swapaxes(rec.rx1()[:frames], -1, -2)
@@ -126,6 +141,8 @@ def build_ladder(frames: int = 256, nfft: int = 256, seed: int = 0) -> dict:
     # ---- the ladder ----
     ladder: dict[str, object] = {
         "frames": frames, "nfft": nfft,
+        "device_kind": jax.devices()[0].device_kind,
+        "matmul_precision": precision,
         "stft_columns": int(p32.shape[1]),
         "1_slow_time_snr_db": round(snr_db(
             np.stack([slow_c.real, slow_c.imag]),
@@ -179,10 +196,15 @@ def build_ladder(frames: int = 256, nfft: int = 256, seed: int = 0) -> dict:
 
 
 def main() -> int:
-    ladder = build_ladder()
+    # One ladder per MXU precision: "default" reproduces the 1-bf16-pass
+    # behavior every f32 matmul silently had before r3 (the recorded 36 dB
+    # spectrogram figure); "highest" is the production default after the
+    # fix. The delta IS the explanation VERDICT r2 item 5 asked for.
+    out = {p: build_ladder(precision=p)
+           for p in ("default", "high", "highest")}
     with open("SNR_LADDER.json", "w") as f:
-        json.dump(ladder, f, indent=2)
-    print(json.dumps(ladder, indent=2))
+        json.dump(out, f, indent=2)
+    print(json.dumps(out, indent=2))
     return 0
 
 
