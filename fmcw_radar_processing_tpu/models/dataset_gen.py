@@ -75,18 +75,26 @@ class ClassSpec:
         return (tgt, clutter)
 
 
-# Default two-class setup mirroring the notebook's human-vs-calf problem.
+# Class setups mirroring the notebook's three field signatures (the class
+# set is human/calf/bees — cells 9-16 train human-vs-calf[+bees], cells
+# 27-29 record a second bees1-vs-calf run; BASELINE.md rows 1 and 5).
 # The bulk-Doppler carrier sits at |offset|*fs/PN (78 Hz per bin at the
 # default config) — inside the PNG's 0-150 Hz window (radar_processing.m:336)
 # for offset 1 — and the micro-Doppler sidebands fan out around it at
 # multiples of the gait rate: a human's fast, deep limb modulation smears
 # energy across the band; a calf's slow, shallow modulation stays a narrow
-# cluster near the carrier.
+# cluster near the carrier; a bee swarm is near-stationary in bulk (offset
+# can be 0) with very fast wing-beat flutter at LOW depth — a dense,
+# weak-sideband haze around a faint carrier, unlike either mammal.
 HUMAN = ClassSpec("human", md_rate_hz=(30.0, 70.0), md_phase_rad=(1.5, 3.0),
                   doppler_offset=(1, 2))
 CALF = ClassSpec("calf", md_rate_hz=(6.0, 24.0), md_phase_rad=(0.4, 1.2),
                  doppler_offset=(1, 1))
+BEES = ClassSpec("bees", md_rate_hz=(90.0, 150.0), md_phase_rad=(0.15, 0.5),
+                 doppler_offset=(0, 1), amplitude=(2.0, 4.0),
+                 clutter_ratio=(0.6, 1.0))
 DEFAULT_CLASSES: tuple[ClassSpec, ...] = (CALF, HUMAN)
+CLASS_SPECS: dict[str, ClassSpec] = {c.name: c for c in (HUMAN, CALF, BEES)}
 
 
 def generate_micro_doppler_dataset(

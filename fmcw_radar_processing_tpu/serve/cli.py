@@ -180,6 +180,8 @@ def cmd_classifier_e2e(args) -> int:
     )
     import os
 
+    from fmcw_radar_processing_tpu.models.dataset_gen import CLASS_SPECS
+
     cfg = ExperimentConfig(
         images_per_class=args.images_per_class,
         frames_per_recording=args.frames,
@@ -190,8 +192,10 @@ def cmd_classifier_e2e(args) -> int:
         freeze_backbone=args.freeze_backbone,
         seed=args.seed,
     )
+    classes = tuple(CLASS_SPECS[n] for n in args.classes.split(","))
     report = run_classifier_experiment(
-        args.out_dir, cfg, reuse_dataset=args.reuse_dataset, log_fn=print
+        args.out_dir, cfg, classes,
+        reuse_dataset=args.reuse_dataset, log_fn=print,
     )
     md = report_markdown(report)
     md_path = args.report or os.path.join(args.out_dir, "report.md")
@@ -338,6 +342,10 @@ def build_parser() -> argparse.ArgumentParser:
                          "from-scratch training wants ~1e-3)")
     pe.add_argument("--freeze-backbone", action="store_true")
     pe.add_argument("--seed", type=int, default=42)
+    pe.add_argument("--classes", default="calf,human",
+                    help="comma-separated class pair from {human,calf,bees} "
+                         "(notebook run 1: calf,human; run 2 = cells 27-29: "
+                         "calf,bees)")
     pe.add_argument("--reuse-dataset", action="store_true",
                     help="skip generation if out_dir/raw already has images")
     pe.add_argument("--report", help="markdown report path (default out_dir/report.md)")
