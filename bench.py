@@ -161,6 +161,8 @@ def _make_full(cfg, impl: str, nfft: int):
             res.freqs, db, cfg.algorithm.max_freq_bins,
             precision=cfg.algorithm.matmul_precision,
         )
+        if cfg.algorithm.intensity_dtype == "bfloat16":
+            intensity = intensity.astype(jnp.bfloat16)
         # Full-reduction fingerprint: forces every artifact to be fully
         # computed and adds one conservative extra read of the [1024, F·PN]
         # intensity (~5 ms at HBM rate for 65k frames). Returning the
@@ -512,23 +514,32 @@ def run_matrix(quick: bool = False) -> list[dict]:
     # vs default (1 bf16 pass — what every f32 matmul silently got before
     # r3), plus the explicit-bf16 variants.
     variants = (
-        ("xla", "highest"), ("fused", "highest"), ("fused", "high"),
-        ("fused", "default"), ("fused_bf16", "default"),
-        ("pallas", "highest"), ("pallas_profile", "highest"),
-        ("pallas_profile_bf16", "default"),
+        ("xla", "highest", "float32"), ("fused", "highest", "float32"),
+        ("fused", "high", "float32"), ("fused", "default", "float32"),
+        ("fused", "highest", "bfloat16"),  # bf16 intensity storage
+        ("fused_bf16", "default", "float32"),
+        ("pallas", "highest", "float32"),
+        ("pallas_profile", "highest", "float32"),
+        ("pallas_profile_bf16", "default", "float32"),
     )
-    for impl, prec in variants:
+    for impl, prec, int_dtype in variants:
         cfg_v = dataclasses.replace(
             cfg, algorithm=dataclasses.replace(
-                cfg.algorithm, matmul_precision=prec)
+                cfg.algorithm, matmul_precision=prec,
+                intensity_dtype=int_dtype)
         )
         fps = bench_tpu(cfg_v, raw_all, calib, impl=impl, nfft=nfft)
         extra = {"frames": f_big, "precision": prec}
+        if int_dtype != "float32":
+            extra["intensity_dtype"] = int_dtype
         try:
             extra.update(snr_vs_oracle(cfg_v, rec, impl, nfft))
         except Exception as e:  # oracle comparison must never kill the bench
             extra["snr_error"] = repr(e)
-        add("4_batched_replay", impl, fps, fpf, extra, bytes_per_frame=bpf)
+        add("4_batched_replay", impl, fps, fpf, extra,
+            bytes_per_frame=chain_bytes_per_frame(
+                cfg, nfft,
+                intensity_bytes=2 if int_dtype == "bfloat16" else 4))
 
     # -- BASELINE config 5: streaming 8-channel, steady-state: windows
     # chained on-device through the carry (the deployed shape — a resident

@@ -87,6 +87,13 @@ class AlgorithmConfig:
     # precision in BENCH_MATRIX.json. The bf16 impl variants are the
     # explicit speed knob and ignore this setting.
     matmul_precision: str = "highest"
+    # Storage dtype of the [1024, T] log-frequency intensity map — the
+    # single largest HBM tensor of the chain (~2/3 of its write traffic at
+    # hop 1). "bfloat16" halves that traffic at a quantization cost of
+    # ~±0.15 dB per bin (8-bit mantissa on dB values; SNR per variant
+    # recorded in BENCH_MATRIX.json). Payloads are converted back to f32
+    # on the host either way.
+    intensity_dtype: str = "float32"
     # --- literal-compat flags (SURVEY Appendix A; default = intent) ---
     # Quirk #1: the 'no' branch writes target_measurements.(fr_idx, j) into
     # arrays preallocated zeros(T, F) (radar_processing.m:157-159 vs

@@ -134,6 +134,10 @@ class RadarPipeline:
                 res.freqs, db, a.max_freq_bins,
                 precision=a.matmul_precision,
             )
+            if a.intensity_dtype == "bfloat16":
+                # Cast in the matmul epilogue: halves the write traffic of
+                # the chain's largest tensor (see AlgorithmConfig).
+                intensity = intensity.astype(jnp.bfloat16)
             return res.times, log_bins, intensity, res.freqs, db
 
         return stage, op
@@ -175,7 +179,7 @@ class RadarPipeline:
         return (
             np.asarray(times)[:n_valid],
             np.asarray(log_bins),
-            np.asarray(intensity)[:, :n_valid],
+            np.asarray(intensity).astype(np.float32)[:, :n_valid],
             np.asarray(freqs),
             np.asarray(db)[:, :n_valid],
         )
