@@ -231,3 +231,26 @@ def test_run_chain_accepts_all_raw_layouts(cfg, rng):
 
     with pytest.raises(ValueError, match="neither"):
         pipe.run_chain(np.zeros((4, cfg.pn, cfg.nts + 3), np.float32), calib)
+
+
+def test_bf16_intensity_option(cfg, rng):
+    """intensity_dtype='bfloat16' halves the largest HBM tensor; the
+    payload still comes back float32 and within bf16 quantization (~0.4%
+    relative => sub-dB absolute on display values) of the f32 run."""
+    import dataclasses
+
+    from fmcw_radar_processing_tpu.config import RadarConfig
+
+    frames, calib = _mixed_recording(cfg, rng)
+    pipe32 = RadarPipeline(cfg)
+    a16 = dataclasses.replace(cfg.algorithm, intensity_dtype="bfloat16")
+    pipe16 = RadarPipeline(RadarConfig.create(cfg.device, a16))
+    got32 = pipe32.process_recording(_tpu_layout(frames), calib)
+    got16 = pipe16.process_recording(_tpu_layout(frames), calib)
+
+    assert got16.spectrogram_intensity.dtype == np.float32
+    m = got32.spectrogram_intensity > -120
+    np.testing.assert_allclose(
+        got16.spectrogram_intensity[m], got32.spectrogram_intensity[m],
+        atol=0.5,  # bf16 8-bit mantissa on dB magnitudes up to ~120
+    )
