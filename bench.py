@@ -66,8 +66,12 @@ def chip_peak_hbm_gbps() -> float | None:
 # ---------------------------------------------------------------------------
 
 def chain_flops_per_frame(cfg, stft_nfft: int, with_rescale: bool = True) -> float:
-    """Matmul FLOPs of the production chain per frame (f32 ops counted as
-    2·M·N·K per matmul; elementwise/reduction epilogues are negligible)."""
+    """FLOPs of the production chain per frame (f32 ops counted as
+    2·M·N·K per matmul; elementwise/reduction epilogues are negligible).
+
+    The rescale term follows cfg.algorithm.rescale_method: the dense
+    contraction is 2·1024·nb per STFT column (65% of the chain — the r2
+    formulation); the gather form is a 3-op lerp per output element."""
     pn, nts, k = cfg.pn, cfg.nts, cfg.range_fft_size
     d = cfg.doppler_fft_size
     t = cfg.algorithm.max_num_targets
@@ -77,7 +81,12 @@ def chain_flops_per_frame(cfg, stft_nfft: int, with_rescale: bool = True) -> flo
     rf_rows = 2.0 * pn * (2 * nts) * (2 * t)  # detected-bin recompute
     doppler = 2.0 * t * (2 * pn) * (2 * d)
     stft = pn * 2 * (2.0 * nb * wl)  # PN new columns/frame, re+im matmuls
-    rescale = pn * (2.0 * cfg.algorithm.max_freq_bins * nb) if with_rescale else 0.0
+    if not with_rescale:
+        rescale = 0.0
+    elif getattr(cfg.algorithm, "rescale_method", "gather") == "matmul":
+        rescale = pn * (2.0 * cfg.algorithm.max_freq_bins * nb)
+    else:
+        rescale = pn * (3.0 * cfg.algorithm.max_freq_bins)  # lerp
     return fast_time + rf_rows + doppler + stft + rescale
 
 
@@ -95,7 +104,8 @@ def chain_bytes_per_frame(cfg, stft_nfft: int, with_rescale: bool = True,
       s_re, s_im   [nb, PN] written by the two matmuls, read by the fused
                    PSD epilogue
       psd→dB       [nb, PN] one write (PSD/dB elementwise chain fuses),
-                   one read each by the global-max pass and the rescale
+                   one read by the global-max pass and two by the gather
+                   rescale (lo and hi row streams)
       intensity    [1024, PN] write + fingerprint read (``intensity_bytes``
                    per element — 4 f32, 2 bf16)
 
@@ -113,7 +123,7 @@ def chain_bytes_per_frame(cfg, stft_nfft: int, with_rescale: bool = True,
     sig = 2 * (pn * 4)  # |slow-time| magnitude write + framing read
     frames_mat = 3 * (wl * pn * 4)
     s_parts = 4 * (nb * pn * 4)
-    psd = 3 * (nb * pn * 4)
+    psd = 4 * (nb * pn * 4)
     rescale = (2 * (cfg.algorithm.max_freq_bins * pn * intensity_bytes)
                if with_rescale else 0)
     return float(raw + waterfall + pack + sig + frames_mat + s_parts + psd
@@ -160,6 +170,7 @@ def _make_full(cfg, impl: str, nfft: int):
         _, intensity = log_frequency_rescale(
             res.freqs, db, cfg.algorithm.max_freq_bins,
             precision=cfg.algorithm.matmul_precision,
+            method=cfg.algorithm.rescale_method,
         )
         if cfg.algorithm.intensity_dtype == "bfloat16":
             intensity = intensity.astype(jnp.bfloat16)
@@ -514,32 +525,40 @@ def run_matrix(quick: bool = False) -> list[dict]:
     # vs default (1 bf16 pass — what every f32 matmul silently got before
     # r3), plus the explicit-bf16 variants.
     variants = (
-        ("xla", "highest", "float32"), ("fused", "highest", "float32"),
-        ("fused", "high", "float32"), ("fused", "default", "float32"),
-        ("fused", "highest", "bfloat16"),  # bf16 intensity storage
-        ("fused_bf16", "default", "float32"),
-        ("pallas", "highest", "float32"),
-        ("pallas_profile", "highest", "float32"),
-        ("pallas_profile_bf16", "default", "float32"),
+        {"impl": "xla"},
+        {"impl": "fused"},  # the production default (highest + gather)
+        {"impl": "fused", "matmul_precision": "high"},
+        {"impl": "fused", "matmul_precision": "default"},
+        # r2's dense-rescale formulation, for the record of the trade (the
+        # dense contraction at 6-pass f32 cost 5.4x end to end):
+        {"impl": "fused", "rescale_method": "matmul"},
+        {"impl": "fused", "intensity_dtype": "bfloat16"},
+        {"impl": "fused_bf16", "matmul_precision": "default"},
+        {"impl": "pallas"},
+        {"impl": "pallas_profile"},
+        {"impl": "pallas_profile_bf16", "matmul_precision": "default"},
     )
-    for impl, prec, int_dtype in variants:
+    for v in variants:
+        v = dict(v)
+        impl = v.pop("impl")
         cfg_v = dataclasses.replace(
-            cfg, algorithm=dataclasses.replace(
-                cfg.algorithm, matmul_precision=prec,
-                intensity_dtype=int_dtype)
+            cfg, algorithm=dataclasses.replace(cfg.algorithm, **v)
         )
         fps = bench_tpu(cfg_v, raw_all, calib, impl=impl, nfft=nfft)
-        extra = {"frames": f_big, "precision": prec}
-        if int_dtype != "float32":
-            extra["intensity_dtype"] = int_dtype
+        extra = {"frames": f_big,
+                 "precision": cfg_v.algorithm.matmul_precision}
+        extra.update(v)
         try:
             extra.update(snr_vs_oracle(cfg_v, rec, impl, nfft))
         except Exception as e:  # oracle comparison must never kill the bench
             extra["snr_error"] = repr(e)
-        add("4_batched_replay", impl, fps, fpf, extra,
+        add("4_batched_replay", impl, fps,
+            chain_flops_per_frame(cfg_v, nfft), extra,
             bytes_per_frame=chain_bytes_per_frame(
-                cfg, nfft,
-                intensity_bytes=2 if int_dtype == "bfloat16" else 4))
+                cfg_v, nfft,
+                intensity_bytes=(
+                    2 if cfg_v.algorithm.intensity_dtype == "bfloat16"
+                    else 4)))
 
     # -- BASELINE config 5: streaming 8-channel, steady-state: windows
     # chained on-device through the carry (the deployed shape — a resident

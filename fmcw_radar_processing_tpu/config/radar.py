@@ -87,6 +87,12 @@ class AlgorithmConfig:
     # precision in BENCH_MATRIX.json. The bf16 impl variants are the
     # explicit speed knob and ignore this setting.
     matmul_precision: str = "highest"
+    # Log-frequency rescale formulation: "gather" (exact f32 lerp via two
+    # static row-gathers — default) or "matmul" (dense [1024, nb] MXU
+    # contraction at matmul_precision). The dense form was 65% of the
+    # chain's FLOPs; gather removes them and sidesteps MXU quantization
+    # entirely (measured on the v5e — see BENCH_MATRIX.json).
+    rescale_method: str = "gather"
     # Storage dtype of the [1024, T] log-frequency intensity map — the
     # single largest HBM tensor of the chain (~2/3 of its write traffic at
     # hop 1). "bfloat16" halves that traffic at a quantization cost of

@@ -204,9 +204,18 @@ def _log_interp_matrix(nb: int, num_bins: int) -> np.ndarray:
     return w
 
 
+@functools.lru_cache(maxsize=32)
+def _log_interp_indices(nb: int, num_bins: int):
+    """(i0 [num_bins] int32, frac [num_bins] f32) for the gather form."""
+    pos = np.logspace(0.0, np.log10(nb - 1), num_bins)
+    i0 = np.clip(np.floor(pos).astype(np.int64), 0, nb - 2)
+    frac = (pos - i0).astype(np.float32)
+    return i0.astype(np.int32), frac
+
+
 def log_frequency_rescale(
     freqs: jax.Array, values: jax.Array, num_bins: int = 1024,
-    precision: str = "highest",
+    precision: str = "highest", method: str = "gather",
 ) -> tuple[jax.Array, jax.Array]:
     """Log-spaced frequency re-gridding (radar_processing.m:291-299).
 
@@ -214,21 +223,38 @@ def log_frequency_rescale(
     Because the one-sided axis is uniform (freqs[i] = i·df), the grid lies
     inside [freqs[1], freqs[-1]] ⊂ [freqs[0], freqs[-1]] — MATLAB's
     'extrap' never actually extrapolates — and the interpolation weights
-    are a static matrix (see _log_interp_matrix), so the whole rescale is
-    one matmul.
+    are static: 2 nonzeros per output row.
+
+    method:
+      'gather' (default) — two static row-gathers + lerp. EXACT f32 (no
+        MXU precision class involved) and ~0.01 MFLOP/frame instead of the
+        dense form's 4.2 (the dense contraction was 65% of the whole
+        chain's FLOPs — the single reason matmul_precision="highest" cost
+        5.4× end to end, measured on the v5e).
+      'matmul' — the dense [num_bins, nb] contraction at ``precision``
+        (kept for the bench matrix's record of the trade).
 
     freqs: [nb] uniform axis with freqs[0] = 0; values: [..., nb, T].
     Returns (log_bins [num_bins], interp [..., num_bins, T]).
     """
     nb = freqs.shape[0]
     df = freqs[1]
-    w = jnp.asarray(_log_interp_matrix(nb, num_bins))
     log_bins = df * jnp.asarray(
         np.logspace(0.0, np.log10(nb - 1), num_bins, dtype=np.float64)
         .astype(np.float32)
     )
+    if method == "gather":
+        i0, frac = _log_interp_indices(nb, num_bins)
+        lo = jnp.take(values, jnp.asarray(i0), axis=-2)
+        hi = jnp.take(values, jnp.asarray(i0 + 1), axis=-2)
+        f = jnp.asarray(frac)[:, None]
+        interp = lo + f * (hi - lo)
+        return log_bins, interp
+    if method != "matmul":
+        raise ValueError(f"unknown rescale method {method!r}")
     from fmcw_radar_processing_tpu.utils.cplx import mxu_precision
 
+    w = jnp.asarray(_log_interp_matrix(nb, num_bins))
     interp = jnp.einsum("on,...nt->...ot", w, values,
                         precision=mxu_precision(precision))
     return log_bins, interp
