@@ -544,7 +544,23 @@ def run_matrix(quick: bool = False) -> list[dict]:
         cfg_v = dataclasses.replace(
             cfg, algorithm=dataclasses.replace(cfg.algorithm, **v)
         )
-        fps = bench_tpu(cfg_v, raw_all, calib, impl=impl, nfft=nfft)
+        # A transient tunneled-backend error must not kill a long matrix
+        # run — retry the row, then record the failure and move on.
+        fps = None
+        for attempt in range(3):
+            try:
+                fps = bench_tpu(cfg_v, raw_all, calib, impl=impl, nfft=nfft)
+                break
+            except Exception as e:
+                err = repr(e)[:200]
+                print(json.dumps({"config": "4_batched_replay",
+                                  "impl": impl, "attempt": attempt,
+                                  "error": err}), flush=True)
+                time.sleep(15)
+        if fps is None:
+            rows.append({"config": "4_batched_replay", "impl": impl,
+                         "error": err, **v})
+            continue
         extra = {"frames": f_big,
                  "precision": cfg_v.algorithm.matmul_precision}
         extra.update(v)
