@@ -104,8 +104,7 @@ def chain_bytes_per_frame(cfg, stft_nfft: int, with_rescale: bool = True,
       s_re, s_im   [nb, PN] written by the two matmuls, read by the fused
                    PSD epilogue
       psd→dB       [nb, PN] one write (PSD/dB elementwise chain fuses),
-                   one read by the global-max pass and two by the gather
-                   rescale (lo and hi row streams)
+                   one read each by the global-max pass and the rescale
       intensity    [1024, PN] write + fingerprint read (``intensity_bytes``
                    per element — 4 f32, 2 bf16)
 
@@ -123,7 +122,7 @@ def chain_bytes_per_frame(cfg, stft_nfft: int, with_rescale: bool = True,
     sig = 2 * (pn * 4)  # |slow-time| magnitude write + framing read
     frames_mat = 3 * (wl * pn * 4)
     s_parts = 4 * (nb * pn * 4)
-    psd = 4 * (nb * pn * 4)
+    psd = 3 * (nb * pn * 4)
     rescale = (2 * (cfg.algorithm.max_freq_bins * pn * intensity_bytes)
                if with_rescale else 0)
     return float(raw + waterfall + pack + sig + frames_mat + s_parts + psd
@@ -169,22 +168,27 @@ def _make_full(cfg, impl: str, nfft: int):
         db = psd_db(res)
         _, intensity = log_frequency_rescale(
             res.freqs, db, cfg.algorithm.max_freq_bins,
-            precision=cfg.algorithm.matmul_precision,
+            precision=cfg.algorithm.rescale_precision,
             method=cfg.algorithm.rescale_method,
         )
         if cfg.algorithm.intensity_dtype == "bfloat16":
             intensity = intensity.astype(jnp.bfloat16)
-        # Full-reduction fingerprint: forces every artifact to be fully
-        # computed and adds one conservative extra read of the [1024, F·PN]
-        # intensity (~5 ms at HBM rate for 65k frames). Returning the
-        # artifacts instead and syncing on a cheap slice was tried and
-        # rejected: with pipelined dispatch (chain_depth > 1) each in-flight
-        # call would hold a live ~4 GB output buffer and OOM the 16 GB HBM,
-        # and a partial-slice fingerprint would let XLA dead-code-eliminate
-        # part of the matmul. Artifacts stay program-internal temps here.
+        # HONEST-MATERIALIZATION fingerprint (r3 fix): the barrier forces
+        # the [1024, F·PN] intensity and the waterfall — the artifacts
+        # production returns — to be fully WRITTEN to HBM before the
+        # reduction reads them. Without it XLA fuses jnp.sum into the
+        # rescale matmul's epilogue and the chain's largest tensor never
+        # exists (measured: the rescale stage then runs BELOW its own
+        # output-write traffic bound, i.e. r2's recorded throughput was
+        # flattered relative to the production path, which returns the
+        # array). Summing (not returning) still avoids holding ~4 GB of
+        # live output per in-flight call under pipelined dispatch.
+        intensity, waterfall = jax.lax.optimization_barrier(
+            (intensity, out.waterfall)
+        )
         fin = jnp.where(jnp.isfinite(intensity), intensity, 0.0)
         return (
-            jnp.sum(out.waterfall)
+            jnp.sum(waterfall)
             + jnp.sum(jnp.where(jnp.isfinite(out.range), out.range, 0.0))
             + jnp.sum(jnp.where(jnp.isfinite(out.speed), out.speed, 0.0))
             + jnp.sum(fin)
@@ -526,12 +530,15 @@ def run_matrix(quick: bool = False) -> list[dict]:
     # r3), plus the explicit-bf16 variants.
     variants = (
         {"impl": "xla"},
-        {"impl": "fused"},  # the production default (highest + gather)
-        {"impl": "fused", "matmul_precision": "high"},
-        {"impl": "fused", "matmul_precision": "default"},
-        # r2's dense-rescale formulation, for the record of the trade (the
-        # dense contraction at 6-pass f32 cost 5.4x end to end):
-        {"impl": "fused", "rescale_method": "matmul"},
+        # Production default: chain matmuls at "highest" (free — they hide
+        # under HBM traffic), rescale matmul at "high" (3-pass, ≤5e-4 dB).
+        {"impl": "fused"},
+        # r2-equivalent: every matmul at 1 bf16 pass (the 36 dB-SNR mode).
+        {"impl": "fused", "matmul_precision": "default",
+         "rescale_precision": "default"},
+        {"impl": "fused", "rescale_precision": "default"},
+        {"impl": "fused", "rescale_precision": "highest"},
+        {"impl": "fused", "rescale_method": "gather"},  # recorded loser
         {"impl": "fused", "intensity_dtype": "bfloat16"},
         {"impl": "fused_bf16", "matmul_precision": "default"},
         {"impl": "pallas"},

@@ -87,12 +87,21 @@ class AlgorithmConfig:
     # precision in BENCH_MATRIX.json. The bf16 impl variants are the
     # explicit speed knob and ignore this setting.
     matmul_precision: str = "highest"
-    # Log-frequency rescale formulation: "gather" (exact f32 lerp via two
-    # static row-gathers — default) or "matmul" (dense [1024, nb] MXU
-    # contraction at matmul_precision). The dense form was 65% of the
-    # chain's FLOPs; gather removes them and sidesteps MXU quantization
-    # entirely (measured on the v5e — see BENCH_MATRIX.json).
-    rescale_method: str = "gather"
+    # Log-frequency rescale formulation: "matmul" (dense [1024, nb] MXU
+    # contraction at rescale_precision — default) or "gather" (exact f32
+    # lerp via two static row-gathers). Both raced on the v5e: the XLA
+    # gather runs at 15.9 ms per 16k frames vs the matmul's 0.8/2.3/4.4 ms
+    # at 1/3/6 MXU passes — TPU gathers neither tile nor pipeline, so the
+    # dense form wins despite 400× the nominal FLOPs. Gather is kept for
+    # CPU-targeted runs, where it is both exact and cheap.
+    rescale_method: str = "matmul"
+    # MXU pass count for the rescale contraction alone. It is the one
+    # FLOPs-dense matmul of the chain (2·1024·129 per STFT column — the
+    # DFT/STFT matmuls hide their extra passes under HBM traffic, measured
+    # +0.2 ms at "highest"; the rescale does not). "high" (3-pass) keeps
+    # the interpolation within 2^-21 relative — ≤ 5e-4 dB even at the
+    # −1000 dB floor — for a third of "highest"'s cost.
+    rescale_precision: str = "high"
     # Storage dtype of the [1024, T] log-frequency intensity map — the
     # single largest HBM tensor of the chain (~2/3 of its write traffic at
     # hop 1). "bfloat16" halves that traffic at a quantization cost of

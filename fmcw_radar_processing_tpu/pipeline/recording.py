@@ -132,7 +132,7 @@ class RadarPipeline:
             db = psd_db(res)
             log_bins, intensity = log_frequency_rescale(
                 res.freqs, db, a.max_freq_bins,
-                precision=a.matmul_precision, method=a.rescale_method,
+                precision=a.rescale_precision, method=a.rescale_method,
             )
             if a.intensity_dtype == "bfloat16":
                 # Cast in the matmul epilogue: halves the write traffic of
