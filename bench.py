@@ -479,6 +479,21 @@ def run_matrix(quick: bool = False) -> list[dict]:
         rows.append(row)
         print(json.dumps(row), flush=True)
 
+    def robust(label, fn):
+        """Run one matrix section with retries (transient tunneled-backend
+        errors must not kill a long run); record the failure and move on."""
+        err = None
+        for attempt in range(3):
+            try:
+                return fn()
+            except Exception as e:
+                err = repr(e)[:200]
+                print(json.dumps({"config": label, "attempt": attempt,
+                                  "error": err}), flush=True)
+                time.sleep(15)
+        rows.append({"config": label, "error": err})
+        return None
+
     # -- BASELINE config 1: single synthetic IQ frame, fast-time + magnitude
     # Two numbers: chip latency (steady-state, on-device repeat — what a
     # locally-dispatched deployment sees) and e2e latency including one
@@ -492,12 +507,16 @@ def run_matrix(quick: bool = False) -> list[dict]:
         return jnp.sum(pft.profile(raw_d, calib_d))
 
     one = jnp.asarray(raw_all[:1])
-    dt_e2e = _time_call(single_ft, (one, jnp.asarray(calib)))
-    dt = _time_steady(single_ft, (one, jnp.asarray(calib)), inner=256)
-    add("1_single_frame_fast_time", "fused", 1.0 / dt,
-        2.0 * cfg.pn * 2 * cfg.nts * 2 * cfg.range_fft_size,
-        {"chip_latency_us": round(dt * 1e6, 1),
-         "e2e_latency_us": round(dt_e2e * 1e6, 1)})
+
+    def config1():
+        dt_e2e = _time_call(single_ft, (one, jnp.asarray(calib)))
+        dt = _time_steady(single_ft, (one, jnp.asarray(calib)), inner=256)
+        add("1_single_frame_fast_time", "fused", 1.0 / dt,
+            2.0 * cfg.pn * 2 * cfg.nts * 2 * cfg.range_fft_size,
+            {"chip_latency_us": round(dt * 1e6, 1),
+             "e2e_latency_us": round(dt_e2e * 1e6, 1)})
+
+    robust("1_single_frame_fast_time", config1)
 
     # -- BASELINE config 2: full single-frame chain -> range-speed
     from fmcw_radar_processing_tpu.pipeline.frame_chain import make_frame_chain
@@ -511,17 +530,22 @@ def run_matrix(quick: bool = False) -> list[dict]:
                 + jnp.sum(jnp.nan_to_num(out.range))
                 + jnp.sum(jnp.nan_to_num(out.speed)))
 
-    dt_e2e = _time_call(single_full, (one, jnp.asarray(calib)))
-    dt = _time_steady(single_full, (one, jnp.asarray(calib)), inner=256)
-    add("2_single_frame_full_chain", "fused", 1.0 / dt,
-        chain_flops_per_frame(cfg, nfft, with_rescale=False),
-        {"chip_latency_us": round(dt * 1e6, 1),
-         "e2e_latency_us": round(dt_e2e * 1e6, 1)})
+    def config2():
+        dt_e2e = _time_call(single_full, (one, jnp.asarray(calib)))
+        dt = _time_steady(single_full, (one, jnp.asarray(calib)), inner=256)
+        add("2_single_frame_full_chain", "fused", 1.0 / dt,
+            chain_flops_per_frame(cfg, nfft, with_rescale=False),
+            {"chip_latency_us": round(dt * 1e6, 1),
+             "e2e_latency_us": round(dt_e2e * 1e6, 1)})
+
+    robust("2_single_frame_full_chain", config2)
 
     # -- BASELINE config 3: multi-frame STFT spectrogram
     f_mid = min(4096, f_big)
-    fps = bench_tpu(cfg, raw_all[:f_mid], calib, nfft=nfft)
-    add("3_multi_frame_stft", "fused", fps, fpf, bytes_per_frame=bpf)
+    robust("3_multi_frame_stft", lambda: add(
+        "3_multi_frame_stft", "fused",
+        bench_tpu(cfg, raw_all[:f_mid], calib, nfft=nfft), fpf,
+        bytes_per_frame=bpf))
 
     # -- BASELINE config 4: batched recording replay x (impl, precision) +
     # SNR. The grid records the fidelity/speed frontier: f32 impls at MXU
@@ -551,22 +575,9 @@ def run_matrix(quick: bool = False) -> list[dict]:
         cfg_v = dataclasses.replace(
             cfg, algorithm=dataclasses.replace(cfg.algorithm, **v)
         )
-        # A transient tunneled-backend error must not kill a long matrix
-        # run — retry the row, then record the failure and move on.
-        fps = None
-        for attempt in range(3):
-            try:
-                fps = bench_tpu(cfg_v, raw_all, calib, impl=impl, nfft=nfft)
-                break
-            except Exception as e:
-                err = repr(e)[:200]
-                print(json.dumps({"config": "4_batched_replay",
-                                  "impl": impl, "attempt": attempt,
-                                  "error": err}), flush=True)
-                time.sleep(15)
+        fps = robust(f"4_batched_replay/{impl}", lambda: bench_tpu(
+            cfg_v, raw_all, calib, impl=impl, nfft=nfft))
         if fps is None:
-            rows.append({"config": "4_batched_replay", "impl": impl,
-                         "error": err, **v})
             continue
         extra = {"frames": f_big,
                  "precision": cfg_v.algorithm.matmul_precision}
@@ -595,24 +606,33 @@ def run_matrix(quick: bool = False) -> list[dict]:
         .reshape(c, wf, cfg.pn, -1).copy()  # flat pair-rows
     )
     calib_c = jax.device_put(np.broadcast_to(calib, (c, cfg.nts, 2)).copy())
-    dt_win = _bench_streaming_steady(sp, raw_c, calib_c)
-    add("5_streaming_8ch", "fused", c * wf / dt_win, fpf,
-        {"channels": c, "window_frames": wf,
-         "window_latency_us": round(dt_win * 1e6, 1)},
-        bytes_per_frame=chain_bytes_per_frame(cfg, nfft, with_rescale=False))
+
+    def config5():
+        dt_win = _bench_streaming_steady(sp, raw_c, calib_c)
+        add("5_streaming_8ch", "fused", c * wf / dt_win, fpf,
+            {"channels": c, "window_frames": wf,
+             "window_latency_us": round(dt_win * 1e6, 1)},
+            bytes_per_frame=chain_bytes_per_frame(cfg, nfft,
+                                                  with_rescale=False))
+
+    robust("5_streaming_8ch", config5)
 
     # -- Fidelity mode: literal reference STFT (hop 1, nfft = 2^nextpow2(L))
     f_fid = 1024 if not quick else 256
     l_fid = f_fid * cfg.pn
     nfft_fid = next_pow2(l_fid)
     cfg_fid = RadarConfig.create(default_device_config(), AlgorithmConfig())
-    fps_fid = bench_tpu(cfg_fid, raw_all[:f_fid], calib, nfft=nfft_fid)
-    fps_prod = bench_tpu(cfg, raw_all[:f_fid], calib, nfft=nfft)
-    add("6_fidelity_stft_nextpow2", "fused", fps_fid,
-        chain_flops_per_frame(cfg_fid, nfft_fid),
-        {"frames": f_fid, "nfft": nfft_fid,
-         "fidelity_cost_x": round(fps_prod / fps_fid, 2)},
-        bytes_per_frame=chain_bytes_per_frame(cfg_fid, nfft_fid))
+
+    def config6():
+        fps_fid = bench_tpu(cfg_fid, raw_all[:f_fid], calib, nfft=nfft_fid)
+        fps_prod = bench_tpu(cfg, raw_all[:f_fid], calib, nfft=nfft)
+        add("6_fidelity_stft_nextpow2", "fused", fps_fid,
+            chain_flops_per_frame(cfg_fid, nfft_fid),
+            {"frames": f_fid, "nfft": nfft_fid,
+             "fidelity_cost_x": round(fps_prod / fps_fid, 2)},
+            bytes_per_frame=chain_bytes_per_frame(cfg_fid, nfft_fid))
+
+    robust("6_fidelity_stft_nextpow2", config6)
 
     meta = {
         "device_kind": backend,
@@ -620,8 +640,10 @@ def run_matrix(quick: bool = False) -> list[dict]:
         "peak_hbm_gbps_assumed": hbm_peak,
         "methodology": "steady-state on-device repetition for every row "
                        "(configs 1/2 also record e2e latency incl. one "
-                       "tunneled dispatch); bytes model documented at "
-                       "chain_bytes_per_frame",
+                       "tunneled dispatch); artifacts (intensity, "
+                       "waterfall) are barrier-materialized so the timed "
+                       "program writes what production returns; bytes "
+                       "model documented at chain_bytes_per_frame",
         "note": "MFU against bf16 peak for all rows (f32 rows cannot exceed "
                 "it; conservative and cross-dtype comparable)",
     }
