@@ -128,7 +128,26 @@ def run_classifier_experiment(
     )
     train_s = time.perf_counter() - t1
 
+    # Device + memory accounting for the record (the notebook's recorded
+    # 3-29 s/step on a Colab GPU is the comparison row).
+    import jax
+
+    steps_per_epoch = max(1, len(sets["train"][1]) // cfg.batch_size)
+    try:
+        mem = jax.local_devices()[0].memory_stats() or {}
+    except Exception:
+        mem = {}
+    device_info = {
+        "device_kind": jax.local_devices()[0].device_kind,
+        "step_seconds": round(
+            train_s / max(1, cfg.epochs * steps_per_epoch), 3),
+        "steps_per_epoch": steps_per_epoch,
+        "peak_bytes_in_use": int(mem.get("peak_bytes_in_use", 0)) or None,
+        "bytes_limit": int(mem.get("bytes_limit", 0)) or None,
+    }
+
     report: dict = {
+        "device": device_info,
         "dataset": {
             "classes": list(class_names),
             "images_per_class": cfg.images_per_class,
@@ -214,6 +233,18 @@ def report_markdown(report: dict) -> str:
         f"- training: {report['training']['seconds']} s",
         "",
     ]
+    dev = report.get("device")
+    if dev:
+        mem = (f", peak HBM {dev['peak_bytes_in_use'] / 2**30:.2f} GiB"
+               if dev.get("peak_bytes_in_use") else "")
+        lines += [
+            f"- device: {dev['device_kind']} — "
+            f"{dev['step_seconds']} s/step at batch "
+            f"{report['training']['batch_size']} "
+            f"({dev['steps_per_epoch']} steps/epoch){mem}; the notebook "
+            "recorded 3–29 s/step on its Colab GPU (cell 21)",
+            "",
+        ]
     if set(d["classes"]) == {"calf", "bees"}:
         # The notebook's SECOND recorded experiment (cells 27-29):
         # bees1-vs-calf, test accuracy 1.00, confusion [[19,0],[0,19]].
