@@ -105,8 +105,9 @@ def chain_bytes_per_frame(cfg, stft_nfft: int, with_rescale: bool = True,
                    PSD epilogue
       psd→dB       [nb, PN] one write (PSD/dB elementwise chain fuses),
                    one read each by the global-max pass and the rescale
-      intensity    [1024, PN] write + fingerprint read (``intensity_bytes``
-                   per element — 4 f32, 2 bf16)
+      intensity    [1024, PN] written once (``intensity_bytes`` per
+                   element — 4 f32, 2 bf16); its consumer is the host DMA,
+                   not another compute pass
 
     Small terms (detection outputs, packed rows, argsort keys, the [F·PN]
     magnitude signal) are included where ≥ 64 B/frame, dropped otherwise.
@@ -123,7 +124,7 @@ def chain_bytes_per_frame(cfg, stft_nfft: int, with_rescale: bool = True,
     frames_mat = 3 * (wl * pn * 4)
     s_parts = 4 * (nb * pn * 4)
     psd = 3 * (nb * pn * 4)
-    rescale = (2 * (cfg.algorithm.max_freq_bins * pn * intensity_bytes)
+    rescale = (cfg.algorithm.max_freq_bins * pn * intensity_bytes
                if with_rescale else 0)
     return float(raw + waterfall + pack + sig + frames_mat + s_parts + psd
                  + rescale)
@@ -176,22 +177,25 @@ def _make_full(cfg, impl: str, nfft: int):
         # HONEST-MATERIALIZATION fingerprint (r3 fix): the barrier forces
         # the [1024, F·PN] intensity and the waterfall — the artifacts
         # production returns — to be fully WRITTEN to HBM before the
-        # reduction reads them. Without it XLA fuses jnp.sum into the
-        # rescale matmul's epilogue and the chain's largest tensor never
-        # exists (measured: the rescale stage then runs BELOW its own
-        # output-write traffic bound, i.e. r2's recorded throughput was
-        # flattered relative to the production path, which returns the
-        # array). Summing (not returning) still avoids holding ~4 GB of
-        # live output per in-flight call under pipelined dispatch.
+        # fingerprint. Without it XLA fuses jnp.sum into the rescale
+        # matmul's epilogue and the chain's largest tensor never exists
+        # (measured: the rescale stage then ran BELOW its own output-write
+        # traffic bound, i.e. r2's recorded 3.11M frames/s was flattered
+        # ~1.4× relative to the production path, which returns the array —
+        # honestly re-measured at 2.2M). The fingerprint reads only a
+        # strided sample: the barrier's operands cannot be dead-code
+        # eliminated, so the full write happens, and production's consumer
+        # of the artifact is the host DMA, not another compute pass —
+        # re-reading all of it here would bill bench-only traffic.
         intensity, waterfall = jax.lax.optimization_barrier(
             (intensity, out.waterfall)
         )
-        fin = jnp.where(jnp.isfinite(intensity), intensity, 0.0)
+        probe = intensity[::31, ::63].astype(jnp.float32)
         return (
             jnp.sum(waterfall)
             + jnp.sum(jnp.where(jnp.isfinite(out.range), out.range, 0.0))
             + jnp.sum(jnp.where(jnp.isfinite(out.speed), out.speed, 0.0))
-            + jnp.sum(fin)
+            + jnp.sum(jnp.where(jnp.isfinite(probe), probe, 0.0))
         )
 
     return full
