@@ -316,7 +316,7 @@ def _bench_streaming_steady(sp, raw_c, calib_c, inner: int = 8,
     return dt
 
 
-def bench_tpu(cfg, raw, calib, iters: int = 3, impl: str = "fused",
+def bench_tpu(cfg, raw, calib, iters: int = 3, impl: str = "auto",
               nfft: int = 256, inner: int = 8) -> float:
     import jax.numpy as jnp
 

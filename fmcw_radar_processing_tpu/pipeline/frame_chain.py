@@ -53,8 +53,22 @@ class FrameChainOutputs(NamedTuple):
     range_fft: jax.Array | None  # [F, PN, K, 2] float32 pair, if requested
 
 
+def resolve_impl(impl: str) -> str:
+    """'auto' → the measured-fastest exact impl for the current backend.
+
+    On TPU that is 'pallas_profile' (r3 matrix, honest materialization:
+    2.29M vs fused's 2.09M frames/s at identical 78 dB SNR — the VMEM-
+    resident profile kernel avoids an HBM round-trip XLA cannot fuse
+    away); elsewhere 'fused' (the Pallas interpreter would crawl on CPU).
+    """
+    if impl != "auto":
+        return impl
+    return ("pallas_profile"
+            if jax.default_backend() in ("tpu", "axon") else "fused")
+
+
 def make_frame_chain(
-    cfg: RadarConfig, return_range_fft: bool = False, impl: str = "fused"
+    cfg: RadarConfig, return_range_fft: bool = False, impl: str = "auto"
 ):
     """Build the jitted recording chain for a fixed config.
 
@@ -62,6 +76,8 @@ def make_frame_chain(
     F is a trace-time constant (one compile per recording length bucket).
 
     impl:
+      'auto'   (default) resolve_impl: pallas_profile on TPU, fused
+               elsewhere.
       'fused'  (default) packed single-matmul fast-time with the profile
                reduction fused into the matmul epilogue; the [F, PN, K, 2]
                range-FFT tensor is never written to HBM — chirp rows at the
@@ -80,6 +96,7 @@ def make_frame_chain(
     Outputs are identical across impls (tests/test_pallas_chain.py); the
     bf16 variants are identical up to input quantization (~40 dB SNR).
     """
+    impl = resolve_impl(impl)
     if impl not in ("fused", "xla", "pallas", "pallas_profile",
                     "pallas_profile_bf16", "fused_bf16"):
         raise ValueError(f"unknown impl {impl!r}")

@@ -101,11 +101,11 @@ class RadarPipeline:
     """Compiled recording pipelines for a fixed RadarConfig."""
 
     def __init__(self, cfg: RadarConfig, filename: str = "radar_data",
-                 impl: str = "fused"):
-        # Default impl measured fastest on-chip across the bench matrix
-        # (BENCH_MATRIX.json: fused 736k frames/s vs xla 588k, pallas 601k,
-        # pallas_profile 726k at 65536 frames) — XLA's fusion of the packed
-        # matmul + profile epilogue already avoids the rf HBM round-trip.
+                 impl: str = "auto"):
+        # 'auto' = the measured-fastest exact impl per backend (r3 matrix,
+        # honest materialization: pallas_profile 2.29M frames/s vs fused
+        # 2.09M on the v5e at identical 78 dB SNR; fused on CPU) — see
+        # frame_chain.resolve_impl.
         self.cfg = cfg
         self.filename = filename
         self._chain = make_frame_chain(cfg, impl=impl)
