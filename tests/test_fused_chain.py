@@ -128,3 +128,17 @@ def test_fused_chain_no_detection_frames(cfg, rng):
     mask = ~np.asarray(out.detection.valid).T
     if mask.any():
         assert np.isnan(np.asarray(out.range)[mask]).all()
+
+
+def test_resolve_impl_auto():
+    """'auto' picks the measured-fastest exact impl per backend: the
+    Pallas profile kernel on TPU, fused XLA elsewhere (r3 matrix)."""
+    import jax
+
+    from fmcw_radar_processing_tpu.pipeline.frame_chain import resolve_impl
+
+    assert resolve_impl("fused") == "fused"  # explicit passes through
+    assert resolve_impl("xla") == "xla"
+    expected = ("pallas_profile"
+                if jax.default_backend() in ("tpu", "axon") else "fused")
+    assert resolve_impl("auto") == expected
