@@ -121,9 +121,18 @@ def chain_bytes_per_frame(cfg, stft_nfft: int, with_rescale: bool = True,
     waterfall = 2 * (k * 4)
     pack = 4 * (pn * 2 * 4)  # strongest rows w+r, packed gather w+r
     sig = 2 * (pn * 4)  # |slow-time| magnitude write + framing read
-    frames_mat = 3 * (wl * pn * 4)
-    s_parts = 4 * (nb * pn * 4)
-    psd = 3 * (nb * pn * 4)
+    from fmcw_radar_processing_tpu.dsp.stft import resolve_stft_impl
+
+    if resolve_stft_impl(cfg.algorithm.stft_impl, 1) == "pallas":
+        # Fused export (ops/stft_pallas.py): frame matrix and complex
+        # parts stay in VMEM; PSD w + r (across the two phases) + dB w.
+        frames_mat = 0
+        s_parts = 0
+        psd = 3 * (nb * pn * 4)
+    else:
+        frames_mat = 3 * (wl * pn * 4)
+        s_parts = 4 * (nb * pn * 4)
+        psd = 3 * (nb * pn * 4)
     rescale = (cfg.algorithm.max_freq_bins * pn * intensity_bytes
                if with_rescale else 0)
     return float(raw + waterfall + pack + sig + frames_mat + s_parts + psd
@@ -161,17 +170,30 @@ def _make_full(cfg, impl: str, nfft: int):
         precision=cfg.algorithm.matmul_precision,
     )
 
+    from fmcw_radar_processing_tpu.dsp.stft import resolve_stft_impl
+
+    stft_impl = resolve_stft_impl(cfg.algorithm.stft_impl, op.hop)
+
     @jax.jit
     def full(raw_d, calib_d):
         out = chain(raw_d, calib_d)
         sig, count = pack_slow_time(out.strongest_chirps, out.detected, cfg.pn)
-        res = op(pair_abs(sig), valid_len=count)
-        db = psd_db(res)
-        _, intensity = log_frequency_rescale(
-            res.freqs, db, cfg.algorithm.max_freq_bins,
-            precision=cfg.algorithm.rescale_precision,
-            method=cfg.algorithm.rescale_method,
-        )
+        if stft_impl == "pallas":
+            from fmcw_radar_processing_tpu.ops.stft_pallas import (
+                spectrogram_pallas,
+            )
+
+            _, db, intensity = spectrogram_pallas(
+                pair_abs(sig), count, op, cfg.algorithm.max_freq_bins
+            )
+        else:
+            res = op(pair_abs(sig), valid_len=count)
+            db = psd_db(res)
+            _, intensity = log_frequency_rescale(
+                res.freqs, db, cfg.algorithm.max_freq_bins,
+                precision=cfg.algorithm.rescale_precision,
+                method=cfg.algorithm.rescale_method,
+            )
         if cfg.algorithm.intensity_dtype == "bfloat16":
             intensity = intensity.astype(jnp.bfloat16)
         # HONEST-MATERIALIZATION fingerprint (r3 fix): the barrier forces
@@ -557,21 +579,30 @@ def run_matrix(quick: bool = False) -> list[dict]:
     # vs default (1 bf16 pass — what every f32 matmul silently got before
     # r3), plus the explicit-bf16 variants.
     variants = (
-        {"impl": "xla"},
-        # Production default: chain matmuls at "highest" (free — they hide
-        # under HBM traffic), rescale matmul at "high" (3-pass, ≤5e-4 dB).
-        {"impl": "fused"},
+        {"impl": "xla", "stft_impl": "xla"},
+        # XLA-export baseline: chain matmuls "highest" (free), rescale
+        # matmul "high" (3-pass, ≤5e-4 dB).
+        {"impl": "fused", "stft_impl": "xla"},
         # r2-equivalent: every matmul at 1 bf16 pass (the 36 dB-SNR mode).
-        {"impl": "fused", "matmul_precision": "default",
+        {"impl": "fused", "stft_impl": "xla", "matmul_precision": "default",
          "rescale_precision": "default"},
-        {"impl": "fused", "rescale_precision": "default"},
-        {"impl": "fused", "rescale_precision": "highest"},
-        {"impl": "fused", "rescale_method": "gather"},  # recorded loser
-        {"impl": "fused", "intensity_dtype": "bfloat16"},
-        {"impl": "fused_bf16", "matmul_precision": "default"},
-        {"impl": "pallas"},
+        {"impl": "fused", "stft_impl": "xla",
+         "rescale_precision": "default"},
+        {"impl": "fused", "stft_impl": "xla",
+         "rescale_precision": "highest"},
+        {"impl": "fused", "stft_impl": "xla",
+         "rescale_method": "gather"},  # recorded loser
+        # Fused Pallas spectrogram export (stft_impl auto→pallas on TPU):
+        {"impl": "fused"},
+        # Production default: Pallas profile chain + Pallas export.
         {"impl": "pallas_profile"},
-        {"impl": "pallas_profile_bf16", "matmul_precision": "default"},
+        {"impl": "pallas_profile", "intensity_dtype": "bfloat16"},
+        {"impl": "fused_bf16", "stft_impl": "xla",
+         "matmul_precision": "default"},
+        {"impl": "pallas", "stft_impl": "xla"},
+        {"impl": "pallas_profile", "stft_impl": "xla"},
+        {"impl": "pallas_profile_bf16", "stft_impl": "xla",
+         "matmul_precision": "default"},
     )
     for v in variants:
         v = dict(v)

@@ -102,6 +102,12 @@ class AlgorithmConfig:
     # the interpolation within 2^-21 relative — ≤ 5e-4 dB even at the
     # −1000 dB floor — for a third of "highest"'s cost.
     rescale_precision: str = "high"
+    # Spectrogram-export implementation: "xla" = StftOperator + psd_db +
+    # log_frequency_rescale (framed matmuls, works everywhere);
+    # "pallas" = the fused two-phase kernel pair (ops/stft_pallas.py —
+    # frame matrix and complex parts never reach HBM; TPU, hop-1 only);
+    # "auto" = pallas on TPU when hop is 1, else xla.
+    stft_impl: str = "auto"
     # Storage dtype of the [1024, T] log-frequency intensity map — the
     # single largest HBM tensor of the chain (~2/3 of its write traffic at
     # hop 1). "bfloat16" halves that traffic at a quantization cost of

@@ -204,6 +204,25 @@ def _log_interp_matrix(nb: int, num_bins: int) -> np.ndarray:
     return w
 
 
+def log_bins_axis(freqs: jax.Array, num_bins: int = 1024) -> jax.Array:
+    """The log-spaced output frequency axis of the rescale (Hz),
+    logspace(log10(freqs[1]), log10(freqs[-1]), num_bins)."""
+    nb = freqs.shape[0]
+    return freqs[1] * jnp.asarray(
+        np.logspace(0.0, np.log10(nb - 1), num_bins, dtype=np.float64)
+        .astype(np.float32)
+    )
+
+
+def resolve_stft_impl(impl: str, hop: int) -> str:
+    """'auto' → the fused Pallas export on TPU at hop 1, else the XLA
+    operator composition."""
+    if impl != "auto":
+        return impl
+    on_tpu = jax.default_backend() in ("tpu", "axon")
+    return "pallas" if (on_tpu and hop == 1) else "xla"
+
+
 @functools.lru_cache(maxsize=32)
 def _log_interp_indices(nb: int, num_bins: int):
     """(i0 [num_bins] int32, frac [num_bins] f32) for the gather form."""
@@ -238,11 +257,7 @@ def log_frequency_rescale(
     Returns (log_bins [num_bins], interp [..., num_bins, T]).
     """
     nb = freqs.shape[0]
-    df = freqs[1]
-    log_bins = df * jnp.asarray(
-        np.logspace(0.0, np.log10(nb - 1), num_bins, dtype=np.float64)
-        .astype(np.float32)
-    )
+    log_bins = log_bins_axis(freqs, num_bins)
     if method == "gather":
         i0, frac = _log_interp_indices(nb, num_bins)
         lo = jnp.take(values, jnp.asarray(i0), axis=-2)

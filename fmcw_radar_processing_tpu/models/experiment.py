@@ -53,6 +53,7 @@ class ExperimentConfig:
     freeze_backbone: bool = False
     augment: bool = True  # train-split augmentation (cell 17)
     seed: int = 42  # cells 14/16 random_state
+    grad_clip_norm: float | None = None  # see TrainConfig.grad_clip_norm
     render_size: tuple[int, int] = (1200, 800)  # 600-dpi export equivalent
 
 
@@ -118,6 +119,7 @@ def run_classifier_experiment(
             freeze_backbone=cfg.freeze_backbone,
             augment=cfg.augment,
             seed=cfg.seed,
+            grad_clip_norm=cfg.grad_clip_norm,
         ),
         input_shape=(*cfg.image_size, 3),
     )

@@ -38,6 +38,12 @@ class TrainConfig:
     freeze_backbone: bool = False  # transfer-learning mode (cell 19)
     augment: bool = True  # train-split augmentation (cell 17)
     seed: int = 42
+    # Global-norm gradient clipping (None = off, the notebook's setting).
+    # From-scratch training of the plain 16-layer VGG stack — something
+    # the reference never does (its backbone is pretrained-frozen) — needs
+    # it: unclipped, the first steps blow the activations up and the net
+    # collapses to constant logits (measured: loss pinned at ln 2).
+    grad_clip_norm: float | None = None
 
 
 class TrainState(train_state.TrainState):
@@ -46,6 +52,10 @@ class TrainState(train_state.TrainState):
 
 def make_optimizer(config: TrainConfig, params=None) -> optax.GradientTransformation:
     opt = optax.adam(config.learning_rate)
+    if config.grad_clip_norm:
+        opt = optax.chain(
+            optax.clip_by_global_norm(config.grad_clip_norm), opt
+        )
     if config.freeze_backbone:
         def label_fn(p):
             return jax.tree_util.tree_map_with_path(

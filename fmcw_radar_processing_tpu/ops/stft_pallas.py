@@ -1,0 +1,204 @@
+"""Pallas TPU kernels: fused STFT → PSD → dB → log-frequency rescale.
+
+The XLA spectrogram path (dsp/stft.py) materializes, per STFT column:
+the [W, T] sliding frame matrix (w+r), the stacked [2nb, T] matmul result
+(w+r), the [nb, T] PSD→dB map (w + 2r), and the [1024, T] intensity
+(w) — at hop 1 that is the second-largest traffic block of the whole
+chain (radar_processing.m:270-299). These kernels collapse it to the
+information minimum:
+
+  phase 1  ``stft_psd_pallas``  — signal tile (+ W−1 halo from the next
+     block) → frames built IN VMEM → one MXU matmul against the
+     magnitude-folded DFT operator → one-sided PSD written ONCE, plus a
+     per-tile max (for the reference's global-max dB normalization,
+     radar_processing.m:282).  The frame matrix and the complex parts
+     never exist in HBM.  The PSD scaling and one-sided doubling are
+     folded into the operator rows as √(scale·dbl_k) — (c·s_re)² +
+     (c·s_im)² = c²·(s_re²+s_im²) — so the epilogue is a pure square-add.
+  phase 2  ``db_rescale_pallas`` — PSD tile → dB (20·log10(p/gmax),
+     G>0 guard, −1000 floor) in VMEM → dense log-grid interpolation
+     matmul at 3-pass (HIGH) precision → dB map + intensity, each
+     written once.
+
+Between the phases a single tiny XLA reduction turns the per-tile maxes
+into the global max — the one cross-column dependency of the dB
+normalization.
+
+Numerics match dsp/stft.py's operators: phase-1's matmul runs at HIGHEST
+(true f32) precision; phase-2's interpolation at HIGH (≤ 2^-21 relative,
+i.e. ≤ 5e-4 dB even at the −1000 dB floor).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from fmcw_radar_processing_tpu.dsp.stft import (
+    DB_FLOOR,
+    StftOperator,
+    _log_interp_matrix,
+)
+
+LN10_INV_20 = float(20.0 / np.log(10.0))
+
+
+def _folded_operator(op: StftOperator) -> np.ndarray:
+    """[2·nb_pad, W] stacked re/im DFT operator with √(scale·dbl) folded
+    into each row pair, zero-padded to an 8-multiple sublane count."""
+    nb = op.num_bins
+    dbl = np.full(nb, 2.0, np.float32)
+    dbl[0] = 1.0
+    if op.nfft % 2 == 0:
+        dbl[-1] = 1.0
+    c = np.sqrt(op.scale * dbl).astype(np.float32)[:, None]
+    nb_pad = -(-nb // 8) * 8
+    a2 = np.zeros((2 * nb_pad, op.window_length), np.float32)
+    a2[:nb] = op.a_re * c
+    a2[nb_pad : nb_pad + nb] = op.a_im * c
+    return a2
+
+
+def _psd_kernel(a_ref, b_ref, op_ref, nv_ref, p_ref, tmax_ref, *,
+                wl: int, tile: int, nb_pad: int):
+    i = pl.program_id(0)
+    # ext = this signal tile ++ first W−1 samples of the next tile.
+    ext = jnp.concatenate([a_ref[0, :], b_ref[0, :wl - 1]])  # [tile+wl-1]
+    frames = jnp.stack(
+        [jax.lax.dynamic_slice(ext, (w,), (tile,)) for w in range(wl)],
+        axis=0,
+    )  # [W, tile]
+    s2 = jnp.dot(op_ref[:], frames, preferred_element_type=jnp.float32,
+                 precision=jax.lax.Precision.HIGHEST)  # [2·nb_pad, tile]
+    p = s2[:nb_pad] ** 2 + s2[nb_pad:] ** 2  # scaling folded into op rows
+    # Zero columns past the valid count (fixed-capacity masking) and the
+    # padded bin rows (their operator rows are zero already, but keep the
+    # invariant explicit for the tile max).
+    col = i * tile + jax.lax.broadcasted_iota(jnp.int32, p.shape, 1)
+    p = jnp.where(col < nv_ref[0], p, 0.0)
+    p_ref[:] = p
+    tmax_ref[0, 0] = jnp.max(p)
+
+
+def _db_rescale_kernel(p_ref, gmax_ref, w_ref, db_ref, int_ref):
+    p = p_ref[:]  # [nb_pad, tile]
+    g = gmax_ref[0]
+    safe = jnp.where(g > 0, g, 1.0)
+    db = jnp.where(
+        p > 0,
+        jnp.maximum(
+            jnp.float32(LN10_INV_20)
+            * jnp.log(jnp.maximum(p, 1e-45) / safe),
+            jnp.float32(DB_FLOOR),
+        ),
+        jnp.float32(DB_FLOOR),
+    )
+    db_ref[:] = db
+    int_ref[:] = jnp.dot(w_ref[:], db, preferred_element_type=jnp.float32,
+                         precision=jax.lax.Precision.HIGH)
+
+
+def spectrogram_pallas(
+    sig: jax.Array, valid_len: jax.Array, op: StftOperator,
+    num_bins: int = 1024, tile: int = 2048, interpret: bool | None = None,
+):
+    """Full spectrogram export from a packed |slow-time| signal.
+
+    sig: [L] float32 magnitude signal (zeros past ``valid_len``);
+    valid_len: scalar int32 count of valid samples.
+    Returns (psd [nb, T], db [nb, T], intensity [num_bins, T]) with
+    T = L − W + 1 columns; columns ≥ valid_len − W + 1 are zero (psd) /
+    DB_FLOOR (db) / ≈DB_FLOOR (intensity: the floor column through the
+    interpolation, row sums ≈ 1 — identical to the XLA path), matching
+    dsp/stft.py's operator + psd_db + log_frequency_rescale composition
+    up to matmul pass ordering and the folded-scaling rounding.
+
+    hop is fixed at 1 (the reference's setting — the only hop where this
+    fusion matters; other hops go through the XLA operator).
+    """
+    if interpret is None:
+        interpret = jax.default_backend() not in ("tpu", "axon")
+    if op.hop != 1:
+        raise ValueError("spectrogram_pallas supports hop=1 only")
+    wl = op.window_length
+    nb = op.num_bins
+    nb_pad = -(-nb // 8) * 8
+    l = sig.shape[0]
+    t = l - wl + 1
+    if t <= 0:
+        raise ValueError(f"signal shorter than one window ({l} < {wl})")
+    n_tiles = -(-t // tile)
+    t_pad = n_tiles * tile
+    # Pad so the halo read of the last tile's B block stays in bounds.
+    sig2 = jnp.zeros((1, t_pad + tile), sig.dtype).at[0, :l].set(sig)
+    a2 = jnp.asarray(_folded_operator(op))  # [2·nb_pad, W]
+    nv = (jnp.asarray(valid_len, jnp.int32) - wl + 1).reshape(1)
+
+    p_pad, tmax = pl.pallas_call(
+        functools.partial(_psd_kernel, wl=wl, tile=tile, nb_pad=nb_pad),
+        grid=(n_tiles,),
+        in_specs=[
+            pl.BlockSpec((1, tile), lambda i: (0, i),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, tile), lambda i: (0, i + 1),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((2 * nb_pad, wl), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((nb_pad, tile), lambda i: (0, i),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((nb_pad, t_pad), jnp.float32),
+            jax.ShapeDtypeStruct((n_tiles, 1), jnp.float32),
+        ],
+        cost_estimate=pl.CostEstimate(
+            flops=2 * t_pad * 2 * nb_pad * wl,
+            bytes_accessed=4 * (t_pad + nb_pad * t_pad),
+            transcendentals=0,
+        ),
+        interpret=interpret,
+    )(sig2, sig2, a2, nv)
+
+    gmax = jnp.max(tmax)  # the one cross-tile dependency (global-max dB)
+
+    w = np.zeros((num_bins, nb_pad), np.float32)
+    w[:, :nb] = _log_interp_matrix(nb, num_bins)
+    db_pad, intensity = pl.pallas_call(
+        _db_rescale_kernel,
+        grid=(n_tiles,),
+        in_specs=[
+            pl.BlockSpec((nb_pad, tile), lambda i: (0, i),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec((num_bins, nb_pad), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((nb_pad, tile), lambda i: (0, i),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((num_bins, tile), lambda i: (0, i),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((nb_pad, t_pad), jnp.float32),
+            jax.ShapeDtypeStruct((num_bins, t_pad), jnp.float32),
+        ],
+        cost_estimate=pl.CostEstimate(
+            flops=2 * t_pad * num_bins * nb_pad,
+            bytes_accessed=4 * (2 * nb_pad * t_pad + num_bins * t_pad),
+            transcendentals=nb_pad * t_pad,  # log
+        ),
+        interpret=interpret,
+    )(p_pad, gmax.reshape(1), jnp.asarray(w))
+
+    return (p_pad[:nb, :t], db_pad[:nb, :t], intensity[:, :t])

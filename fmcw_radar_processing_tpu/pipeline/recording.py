@@ -126,6 +126,36 @@ class RadarPipeline:
             precision=a.matmul_precision,
         )
 
+        from fmcw_radar_processing_tpu.dsp.stft import (
+            log_bins_axis,
+            resolve_stft_impl,
+        )
+
+        stft_impl = resolve_stft_impl(a.stft_impl, op.hop)
+
+        if stft_impl == "pallas":
+            from fmcw_radar_processing_tpu.ops.stft_pallas import (
+                spectrogram_pallas,
+            )
+
+            @jax.jit
+            def stage(signal_abs: jax.Array, valid_len: jax.Array):
+                _, db, intensity = spectrogram_pallas(
+                    signal_abs, valid_len, op, a.max_freq_bins
+                )
+                freqs = jnp.arange(
+                    op.num_bins, dtype=jnp.float32
+                ) * jnp.float32(op.fs / op.nfft)
+                t = db.shape[-1]
+                times = (jnp.arange(t, dtype=jnp.float32)
+                         + op.window_length / 2.0) / jnp.float32(op.fs)
+                if a.intensity_dtype == "bfloat16":
+                    intensity = intensity.astype(jnp.bfloat16)
+                return (times, log_bins_axis(freqs, a.max_freq_bins),
+                        intensity, freqs, db)
+
+            return stage, op
+
         @jax.jit
         def stage(signal_abs: jax.Array, valid_len: jax.Array):
             res = op(signal_abs, valid_len=valid_len)

@@ -191,6 +191,7 @@ def cmd_classifier_e2e(args) -> int:
         learning_rate=args.lr,
         freeze_backbone=args.freeze_backbone,
         seed=args.seed,
+        grad_clip_norm=args.grad_clip,
     )
     classes = tuple(CLASS_SPECS[n] for n in args.classes.split(","))
     report = run_classifier_experiment(
@@ -341,6 +342,9 @@ def build_parser() -> argparse.ArgumentParser:
                     help="Adam learning rate (notebook default 1e-4; "
                          "from-scratch training wants ~1e-3)")
     pe.add_argument("--freeze-backbone", action="store_true")
+    pe.add_argument("--grad-clip", type=float, default=None,
+                    help="global-norm gradient clip (from-scratch VGG16 "
+                         "needs ~1.0; off by default = notebook setting)")
     pe.add_argument("--seed", type=int, default=42)
     pe.add_argument("--classes", default="calf,human",
                     help="comma-separated class pair from {human,calf,bees} "

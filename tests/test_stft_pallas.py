@@ -1,0 +1,80 @@
+"""Fused Pallas spectrogram (ops/stft_pallas.py) vs the XLA composition.
+
+The kernel pair must reproduce StftOperator + psd_db +
+log_frequency_rescale exactly (up to matmul pass ordering) including the
+fixed-capacity masking and the global-max dB normalization.
+"""
+
+import numpy as np
+import pytest
+
+import jax.numpy as jnp
+
+from fmcw_radar_processing_tpu.dsp.stft import (
+    DB_FLOOR,
+    StftOperator,
+    log_frequency_rescale,
+    psd_db,
+)
+from fmcw_radar_processing_tpu.ops.stft_pallas import spectrogram_pallas
+
+
+def _ref(op, sig, count):
+    res = op(sig, valid_len=jnp.asarray(count))
+    db = psd_db(res)
+    _, intensity = log_frequency_rescale(res.freqs, db, 1024)
+    return np.asarray(res.power), np.asarray(db), np.asarray(intensity)
+
+
+@pytest.mark.parametrize("l,count", [(4096, 4096), (4096, 1000), (700, 650)])
+def test_matches_xla_composition(l, count):
+    rng = np.random.default_rng(5)
+    sig_np = np.zeros(l, np.float32)
+    sig_np[:count] = np.abs(
+        rng.standard_normal(count) + 0.5 * np.sin(np.arange(count) * 0.3)
+    ).astype(np.float32)
+    sig = jnp.asarray(sig_np)
+    op = StftOperator.create(window_length=20, beta=3.0, nfft=256,
+                             fs=1000.0, hop=1)
+    p, db, intensity = spectrogram_pallas(sig, jnp.asarray(count), op,
+                                          tile=512)
+    p_ref, db_ref, int_ref = _ref(op, sig, count)
+
+    assert p.shape == p_ref.shape
+    # √(scale·dbl) folding computes (c·s)² instead of c²·(s²) — identical
+    # math, different rounding: tiny absolute wiggle at spectral nulls.
+    np.testing.assert_allclose(np.asarray(p), p_ref, rtol=1e-4, atol=1e-10)
+    # dB: tight where displayable; sub-display bins admit the folding's
+    # rounding wiggle at spectral nulls; floor matches exactly.
+    m = db_ref > -120
+    np.testing.assert_allclose(np.asarray(db)[m], db_ref[m], atol=1e-3)
+    deep = (db_ref <= -120) & (db_ref > -500)
+    np.testing.assert_allclose(np.asarray(db)[deep], db_ref[deep], atol=0.2)
+    np.testing.assert_array_equal(np.asarray(db) == DB_FLOOR,
+                                  db_ref == DB_FLOOR)
+    mi = int_ref > -120
+    np.testing.assert_allclose(np.asarray(intensity)[mi], int_ref[mi],
+                               atol=2e-3)
+    deep_i = (int_ref <= -120) & (int_ref > -500)
+    np.testing.assert_allclose(np.asarray(intensity)[deep_i],
+                               int_ref[deep_i], atol=0.2)
+
+    # Invalid columns: zero PSD, floored dB; intensity is the floor column
+    # through the interpolation (−1000 · row-sums ≈ 1), same as the XLA
+    # path — compare against it, not against the exact constant.
+    ncols = count - 20 + 1
+    assert np.all(np.asarray(p)[:, ncols:] == 0.0)
+    assert np.all(np.asarray(db)[:, ncols:] == DB_FLOOR)
+    np.testing.assert_allclose(np.asarray(intensity)[:, ncols:],
+                               int_ref[:, ncols:], atol=0.2)
+
+
+def test_rejects_bad_args():
+    op = StftOperator.create(window_length=20, beta=3.0, nfft=256,
+                             fs=1000.0, hop=2)
+    with pytest.raises(ValueError, match="hop"):
+        spectrogram_pallas(jnp.zeros(100), jnp.asarray(100), op)
+    op1 = StftOperator.create(window_length=20, beta=3.0, nfft=256,
+                              fs=1000.0, hop=1)
+    with pytest.raises(ValueError, match="shorter"):
+        spectrogram_pallas(jnp.zeros(10), jnp.asarray(10), op1)
