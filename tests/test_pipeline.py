@@ -254,3 +254,31 @@ def test_bf16_intensity_option(cfg, rng):
         got16.spectrogram_intensity[m], got32.spectrogram_intensity[m],
         atol=0.5,  # bf16 8-bit mantissa on dB magnitudes up to ~120
     )
+
+
+def test_stft_impl_pallas_matches_xla(cfg, rng):
+    """The fused Pallas spectrogram export (stft_impl='pallas') plugs into
+    process_recording and reproduces the XLA composition's artifacts."""
+    import dataclasses
+
+    from fmcw_radar_processing_tpu.config import RadarConfig
+
+    frames, calib = _mixed_recording(cfg, rng)
+    ax = dataclasses.replace(cfg.algorithm, stft_impl="xla")
+    ap = dataclasses.replace(cfg.algorithm, stft_impl="pallas")
+    got_x = RadarPipeline(RadarConfig.create(cfg.device, ax)).process_recording(
+        _tpu_layout(frames), calib)
+    got_p = RadarPipeline(RadarConfig.create(cfg.device, ap)).process_recording(
+        _tpu_layout(frames), calib)
+
+    assert got_p.spectrogram_intensity.shape == got_x.spectrogram_intensity.shape
+    m = got_x.spectrogram_intensity > -120
+    np.testing.assert_allclose(got_p.spectrogram_intensity[m],
+                               got_x.spectrogram_intensity[m], atol=5e-3)
+    mp = got_x.spectrogram_psd_db > -120
+    np.testing.assert_allclose(got_p.spectrogram_psd_db[mp],
+                               got_x.spectrogram_psd_db[mp], atol=1e-3)
+    np.testing.assert_allclose(got_p.spectrogram_times, got_x.spectrogram_times,
+                               rtol=1e-6)
+    np.testing.assert_allclose(got_p.spectrogram_freqs, got_x.spectrogram_freqs,
+                               rtol=1e-6)
