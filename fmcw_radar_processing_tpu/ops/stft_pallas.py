@@ -7,18 +7,19 @@ the [W, T] sliding frame matrix (w+r), the stacked [2nb, T] matmul result
 chain (radar_processing.m:270-299). These kernels collapse it to the
 information minimum:
 
-  phase 1  ``stft_psd_pallas``  — signal tile (+ W−1 halo from the next
-     block) → frames built IN VMEM → one MXU matmul against the
-     magnitude-folded DFT operator → one-sided PSD written ONCE, plus a
-     per-tile max (for the reference's global-max dB normalization,
-     radar_processing.m:282).  The frame matrix and the complex parts
-     never exist in HBM.  The PSD scaling and one-sided doubling are
-     folded into the operator rows as √(scale·dbl_k) — (c·s_re)² +
-     (c·s_im)² = c²·(s_re²+s_im²) — so the epilogue is a pure square-add.
-  phase 2  ``db_rescale_pallas`` — PSD tile → dB (20·log10(p/gmax),
-     G>0 guard, −1000 floor) in VMEM → dense log-grid interpolation
-     matmul at 3-pass (HIGH) precision → dB map + intensity, each
-     written once.
+  phase 1  ``_psd_kernel``  — frame-matrix tile (XLA's im2col; small, and
+     Mosaic's compiler crashes on the in-kernel lane-shifted concat) →
+     one MXU matmul against the magnitude-folded DFT operator → one-sided
+     PSD written ONCE, plus a per-tile max (for the reference's
+     global-max dB normalization, radar_processing.m:282).  The [2nb, T]
+     complex matmul parts never exist in HBM.  The PSD scaling and
+     one-sided doubling are folded into the operator rows as
+     √(scale·dbl_k) — (c·s_re)² + (c·s_im)² = c²·(s_re²+s_im²) — so the
+     epilogue is a pure square-add.
+  phase 2  ``_db_rescale_kernel`` — PSD tile → dB (20·log10(p/gmax),
+     G>0 guard, −1000 floor) in VMEM → dense log-grid interpolation as an
+     explicit 3-dot bf16x3 split (HIGH-equivalent; Mosaic has no HIGH
+     dot) → dB map + intensity, each written once.
 
 Between the phases a single tiny XLA reduction turns the per-tile maxes
 into the global max — the one cross-column dependency of the dB
@@ -57,35 +58,33 @@ def _folded_operator(op: StftOperator) -> np.ndarray:
     if op.nfft % 2 == 0:
         dbl[-1] = 1.0
     c = np.sqrt(op.scale * dbl).astype(np.float32)[:, None]
-    nb_pad = -(-nb // 8) * 8
+    nb_pad = -(-nb // 128) * 128
     a2 = np.zeros((2 * nb_pad, op.window_length), np.float32)
     a2[:nb] = op.a_re * c
     a2[nb_pad : nb_pad + nb] = op.a_im * c
     return a2
 
 
-def _psd_kernel(a_ref, b_ref, op_ref, nv_ref, p_ref, tmax_ref, *,
-                wl: int, tile: int, nb_pad: int):
+def _psd_kernel(fr_ref, op_ref, nv_ref, p_ref, tmax_ref, *,
+                tile: int, nb_pad: int):
     i = pl.program_id(0)
-    # ext = this signal tile ++ first W−1 samples of the next tile.
-    ext = jnp.concatenate([a_ref[0, :], b_ref[0, :wl - 1]])  # [tile+wl-1]
-    frames = jnp.stack(
-        [jax.lax.dynamic_slice(ext, (w,), (tile,)) for w in range(wl)],
-        axis=0,
-    )  # [W, tile]
-    s2 = jnp.dot(op_ref[:], frames, preferred_element_type=jnp.float32,
+    # frames [W, tile] arrive from XLA's im2col (20 cheap strided slices;
+    # Mosaic's compiler rejects/crashes on the in-kernel lane-shifted
+    # concat, and the frame matrix is a minor traffic term — the point of
+    # this kernel is that the [2nb, T] complex matmul parts never reach
+    # HBM).
+    s2 = jnp.dot(op_ref[:], fr_ref[:], preferred_element_type=jnp.float32,
                  precision=jax.lax.Precision.HIGHEST)  # [2·nb_pad, tile]
     p = s2[:nb_pad] ** 2 + s2[nb_pad:] ** 2  # scaling folded into op rows
-    # Zero columns past the valid count (fixed-capacity masking) and the
-    # padded bin rows (their operator rows are zero already, but keep the
-    # invariant explicit for the tile max).
+    # Zero columns past the valid count (fixed-capacity masking).
     col = i * tile + jax.lax.broadcasted_iota(jnp.int32, p.shape, 1)
     p = jnp.where(col < nv_ref[0], p, 0.0)
     p_ref[:] = p
-    tmax_ref[0, 0] = jnp.max(p)
+    # Whole tmax array is SMEM-mapped every step; write this tile's slot.
+    tmax_ref[i] = jnp.max(p)
 
 
-def _db_rescale_kernel(p_ref, gmax_ref, w_ref, db_ref, int_ref):
+def _db_rescale_kernel(p_ref, gmax_ref, whi_ref, wlo_ref, db_ref, int_ref):
     p = p_ref[:]  # [nb_pad, tile]
     g = gmax_ref[0]
     safe = jnp.where(g > 0, g, 1.0)
@@ -99,13 +98,22 @@ def _db_rescale_kernel(p_ref, gmax_ref, w_ref, db_ref, int_ref):
         jnp.float32(DB_FLOOR),
     )
     db_ref[:] = db
-    int_ref[:] = jnp.dot(w_ref[:], db, preferred_element_type=jnp.float32,
-                         precision=jax.lax.Precision.HIGH)
+    # 3-pass bf16x3 interpolation (Mosaic has no HIGH-precision dot):
+    # W = W_hi + W_lo split on the host (W_hi exactly bf16-representable,
+    # so DEFAULT's operand quantization is lossless on it); db split here.
+    # dot(W_lo, db_lo) ~ 2^-42 relative — dropped, exactly like HIGH.
+    db_hi = db.astype(jnp.bfloat16).astype(jnp.float32)
+    db_lo = db - db_hi
+    d = functools.partial(jnp.dot, preferred_element_type=jnp.float32,
+                          precision=jax.lax.Precision.DEFAULT)
+    int_ref[:] = (d(whi_ref[:], db_hi) + d(whi_ref[:], db_lo)
+                  + d(wlo_ref[:], db_hi))
 
 
 def spectrogram_pallas(
     sig: jax.Array, valid_len: jax.Array, op: StftOperator,
-    num_bins: int = 1024, tile: int = 2048, interpret: bool | None = None,
+    num_bins: int = 1024, tile: int = 2048, tile2: int = 512,
+    interpret: bool | None = None,
 ):
     """Full spectrogram export from a packed |slow-time| signal.
 
@@ -127,25 +135,27 @@ def spectrogram_pallas(
         raise ValueError("spectrogram_pallas supports hop=1 only")
     wl = op.window_length
     nb = op.num_bins
-    nb_pad = -(-nb // 8) * 8
+    # Bin rows pad to a 128 multiple: the phase-2 contraction runs over
+    # this axis and Mosaic's MXU lowering requires lane-aligned K (the
+    # 136-sublane variant crashed its compiler).
+    nb_pad = -(-nb // 128) * 128
     l = sig.shape[0]
     t = l - wl + 1
     if t <= 0:
         raise ValueError(f"signal shorter than one window ({l} < {wl})")
     n_tiles = -(-t // tile)
     t_pad = n_tiles * tile
-    # Pad so the halo read of the last tile's B block stays in bounds.
-    sig2 = jnp.zeros((1, t_pad + tile), sig.dtype).at[0, :l].set(sig)
+    # XLA-side im2col, padded to the tile grid: [W, t_pad].
+    sig_pad = jnp.zeros(t_pad + wl - 1, sig.dtype).at[:l].set(sig)
+    frames = op.frame_signal(sig_pad)  # [W, t_pad]
     a2 = jnp.asarray(_folded_operator(op))  # [2·nb_pad, W]
     nv = (jnp.asarray(valid_len, jnp.int32) - wl + 1).reshape(1)
 
     p_pad, tmax = pl.pallas_call(
-        functools.partial(_psd_kernel, wl=wl, tile=tile, nb_pad=nb_pad),
+        functools.partial(_psd_kernel, tile=tile, nb_pad=nb_pad),
         grid=(n_tiles,),
         in_specs=[
-            pl.BlockSpec((1, tile), lambda i: (0, i),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, tile), lambda i: (0, i + 1),
+            pl.BlockSpec((wl, tile), lambda i: (0, i),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((2 * nb_pad, wl), lambda i: (0, 0),
                          memory_space=pltpu.VMEM),
@@ -154,12 +164,12 @@ def spectrogram_pallas(
         out_specs=[
             pl.BlockSpec((nb_pad, tile), lambda i: (0, i),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1), lambda i: (i, 0),
-                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((n_tiles,), lambda i: (0,),
+                         memory_space=pltpu.SMEM),
         ],
         out_shape=[
             jax.ShapeDtypeStruct((nb_pad, t_pad), jnp.float32),
-            jax.ShapeDtypeStruct((n_tiles, 1), jnp.float32),
+            jax.ShapeDtypeStruct((n_tiles,), jnp.float32),
         ],
         cost_estimate=pl.CostEstimate(
             flops=2 * t_pad * 2 * nb_pad * wl,
@@ -167,26 +177,35 @@ def spectrogram_pallas(
             transcendentals=0,
         ),
         interpret=interpret,
-    )(sig2, sig2, a2, nv)
+    )(frames, a2, nv)
 
     gmax = jnp.max(tmax)  # the one cross-tile dependency (global-max dB)
 
     w = np.zeros((num_bins, nb_pad), np.float32)
     w[:, :nb] = _log_interp_matrix(nb, num_bins)
+    w_hi = w.astype(np.float32)
+    w_hi = w_hi.astype(jnp.bfloat16).astype(np.float32)  # bf16-exact part
+    w_lo = (w - w_hi).astype(np.float32)
+    # Phase 2 uses a smaller tile: its double-buffered blocks (p in, db
+    # out, [1024, tile] intensity out, two weight halves) must fit the
+    # 16 MB scoped-VMEM limit (tile 2048 measured 21 MB -> compile OOM).
+    n_tiles2 = t_pad // tile2
     db_pad, intensity = pl.pallas_call(
         _db_rescale_kernel,
-        grid=(n_tiles,),
+        grid=(n_tiles2,),
         in_specs=[
-            pl.BlockSpec((nb_pad, tile), lambda i: (0, i),
+            pl.BlockSpec((nb_pad, tile2), lambda i: (0, i),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec(memory_space=pltpu.SMEM),
             pl.BlockSpec((num_bins, nb_pad), lambda i: (0, 0),
                          memory_space=pltpu.VMEM),
+            pl.BlockSpec((num_bins, nb_pad), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
         ],
         out_specs=[
-            pl.BlockSpec((nb_pad, tile), lambda i: (0, i),
+            pl.BlockSpec((nb_pad, tile2), lambda i: (0, i),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((num_bins, tile), lambda i: (0, i),
+            pl.BlockSpec((num_bins, tile2), lambda i: (0, i),
                          memory_space=pltpu.VMEM),
         ],
         out_shape=[
@@ -199,6 +218,6 @@ def spectrogram_pallas(
             transcendentals=nb_pad * t_pad,  # log
         ),
         interpret=interpret,
-    )(p_pad, gmax.reshape(1), jnp.asarray(w))
+    )(p_pad, gmax.reshape(1), jnp.asarray(w_hi), jnp.asarray(w_lo))
 
     return (p_pad[:nb, :t], db_pad[:nb, :t], intensity[:, :t])
