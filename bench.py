@@ -123,7 +123,8 @@ def chain_bytes_per_frame(cfg, stft_nfft: int, with_rescale: bool = True,
     sig = 2 * (pn * 4)  # |slow-time| magnitude write + framing read
     from fmcw_radar_processing_tpu.dsp.stft import resolve_stft_impl
 
-    if resolve_stft_impl(cfg.algorithm.stft_impl, 1) == "pallas":
+    if resolve_stft_impl(cfg.algorithm.stft_impl, 1,
+                         stft_nfft) == "pallas":
         # Fused export (ops/stft_pallas.py): frame matrix and complex
         # parts stay in VMEM; PSD w + r (across the two phases) + dB w.
         frames_mat = 0
@@ -172,7 +173,7 @@ def _make_full(cfg, impl: str, nfft: int):
 
     from fmcw_radar_processing_tpu.dsp.stft import resolve_stft_impl
 
-    stft_impl = resolve_stft_impl(cfg.algorithm.stft_impl, op.hop)
+    stft_impl = resolve_stft_impl(cfg.algorithm.stft_impl, op.hop, op.nfft)
 
     @jax.jit
     def full(raw_d, calib_d):

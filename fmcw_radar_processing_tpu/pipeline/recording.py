@@ -131,7 +131,7 @@ class RadarPipeline:
             resolve_stft_impl,
         )
 
-        stft_impl = resolve_stft_impl(a.stft_impl, op.hop)
+        stft_impl = resolve_stft_impl(a.stft_impl, op.hop, op.nfft)
 
         if stft_impl == "pallas":
             from fmcw_radar_processing_tpu.ops.stft_pallas import (
