@@ -274,7 +274,17 @@ def log_frequency_rescale(
         raise ValueError(f"unknown rescale method {method!r}")
     from fmcw_radar_processing_tpu.utils.cplx import mxu_precision
 
-    w = jnp.asarray(_log_interp_matrix(nb, num_bins))
-    interp = jnp.einsum("on,...nt->...ot", w, values,
-                        precision=mxu_precision(precision))
+    w = _log_interp_matrix(nb, num_bins)
+    # Nyquist peel: nb is always 2^k + 1, so the dense contraction's K is
+    # one past a power of two and the MXU pads it to the next 128-multiple
+    # (for nb=129 that DOUBLES the matmul passes). Contract over the first
+    # nb−1 bins (power-of-two K, lane-aligned) and add the single Nyquist
+    # column as a rank-1 VPU outer product — identical arithmetic, half
+    # the MXU work.
+    prec = mxu_precision(precision)
+    w_main = jnp.asarray(np.ascontiguousarray(w[:, : nb - 1]))
+    w_nyq = jnp.asarray(np.ascontiguousarray(w[:, nb - 1]))
+    interp = jnp.einsum("on,...nt->...ot", w_main, values[..., : nb - 1, :],
+                        precision=prec)
+    interp = interp + w_nyq[:, None] * values[..., nb - 1 : nb, :]
     return log_bins, interp

@@ -84,7 +84,8 @@ def _psd_kernel(fr_ref, op_ref, nv_ref, p_ref, tmax_ref, *,
     tmax_ref[i] = jnp.max(p)
 
 
-def _db_rescale_kernel(p_ref, gmax_ref, whi_ref, wlo_ref, db_ref, int_ref):
+def _db_rescale_kernel(p_ref, gmax_ref, whi_ref, wlo_ref, wnyq_ref,
+                       db_ref, int_ref, *, k_main: int):
     p = p_ref[:]  # [nb_pad, tile]
     g = gmax_ref[0]
     safe = jnp.where(g > 0, g, 1.0)
@@ -102,12 +103,17 @@ def _db_rescale_kernel(p_ref, gmax_ref, whi_ref, wlo_ref, db_ref, int_ref):
     # W = W_hi + W_lo split on the host (W_hi exactly bf16-representable,
     # so DEFAULT's operand quantization is lossless on it); db split here.
     # dot(W_lo, db_lo) ~ 2^-42 relative — dropped, exactly like HIGH.
-    db_hi = db.astype(jnp.bfloat16).astype(jnp.float32)
-    db_lo = db - db_hi
+    # The contraction runs over the first k_main = nb−1 bins (a power of
+    # two — lane-aligned K, half the MXU passes of nb); the Nyquist bin's
+    # column is added as an exact rank-1 VPU outer product in f32.
+    dbm = db[:k_main]
+    db_hi = dbm.astype(jnp.bfloat16).astype(jnp.float32)
+    db_lo = dbm - db_hi
     d = functools.partial(jnp.dot, preferred_element_type=jnp.float32,
                           precision=jax.lax.Precision.DEFAULT)
     int_ref[:] = (d(whi_ref[:], db_hi) + d(whi_ref[:], db_lo)
-                  + d(wlo_ref[:], db_hi))
+                  + d(wlo_ref[:], db_hi)
+                  + wnyq_ref[:] * db[k_main : k_main + 1, :])
 
 
 def spectrogram_pallas(
@@ -181,25 +187,31 @@ def spectrogram_pallas(
 
     gmax = jnp.max(tmax)  # the one cross-tile dependency (global-max dB)
 
-    w = np.zeros((num_bins, nb_pad), np.float32)
-    w[:, :nb] = _log_interp_matrix(nb, num_bins)
-    w_hi = w.astype(np.float32)
-    w_hi = w_hi.astype(jnp.bfloat16).astype(np.float32)  # bf16-exact part
+    # Nyquist peel: contract over the first k_main = nb−1 bins (power-of-
+    # two K — for nfft 256 that's K=128 instead of an MXU-padded 256, half
+    # the passes) and add the Nyquist column as a rank-1 f32 correction.
+    k_main = nb - 1
+    w_full = _log_interp_matrix(nb, num_bins)
+    w = np.ascontiguousarray(w_full[:, :k_main]).astype(np.float32)
+    w_nyq = np.ascontiguousarray(w_full[:, nb - 1 : nb]).astype(np.float32)
+    w_hi = w.astype(jnp.bfloat16).astype(np.float32)  # bf16-exact part
     w_lo = (w - w_hi).astype(np.float32)
     # Phase 2 uses a smaller tile: its double-buffered blocks (p in, db
     # out, [1024, tile] intensity out, two weight halves) must fit the
     # 16 MB scoped-VMEM limit (tile 2048 measured 21 MB -> compile OOM).
     n_tiles2 = t_pad // tile2
     db_pad, intensity = pl.pallas_call(
-        _db_rescale_kernel,
+        functools.partial(_db_rescale_kernel, k_main=k_main),
         grid=(n_tiles2,),
         in_specs=[
             pl.BlockSpec((nb_pad, tile2), lambda i: (0, i),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec(memory_space=pltpu.SMEM),
-            pl.BlockSpec((num_bins, nb_pad), lambda i: (0, 0),
+            pl.BlockSpec((num_bins, k_main), lambda i: (0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((num_bins, nb_pad), lambda i: (0, 0),
+            pl.BlockSpec((num_bins, k_main), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((num_bins, 1), lambda i: (0, 0),
                          memory_space=pltpu.VMEM),
         ],
         out_specs=[
@@ -213,11 +225,12 @@ def spectrogram_pallas(
             jax.ShapeDtypeStruct((num_bins, t_pad), jnp.float32),
         ],
         cost_estimate=pl.CostEstimate(
-            flops=2 * t_pad * num_bins * nb_pad,
+            flops=2 * t_pad * num_bins * k_main,
             bytes_accessed=4 * (2 * nb_pad * t_pad + num_bins * t_pad),
             transcendentals=nb_pad * t_pad,  # log
         ),
         interpret=interpret,
-    )(p_pad, gmax.reshape(1), jnp.asarray(w_hi), jnp.asarray(w_lo))
+    )(p_pad, gmax.reshape(1), jnp.asarray(w_hi), jnp.asarray(w_lo),
+      jnp.asarray(w_nyq))
 
     return (p_pad[:nb, :t], db_pad[:nb, :t], intensity[:, :t])
