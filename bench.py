@@ -179,13 +179,15 @@ def _make_full(cfg, impl: str, nfft: int):
     def full(raw_d, calib_d):
         out = chain(raw_d, calib_d)
         sig, count = pack_slow_time(out.strongest_chirps, out.detected, cfg.pn)
+        bf16_int = cfg.algorithm.intensity_dtype == "bfloat16"
         if stft_impl == "pallas":
             from fmcw_radar_processing_tpu.ops.stft_pallas import (
                 spectrogram_pallas,
             )
 
             _, db, intensity = spectrogram_pallas(
-                pair_abs(sig), count, op, cfg.algorithm.max_freq_bins
+                pair_abs(sig), count, op, cfg.algorithm.max_freq_bins,
+                intensity_dtype=(jnp.bfloat16 if bf16_int else jnp.float32),
             )
         else:
             res = op(pair_abs(sig), valid_len=count)
@@ -195,8 +197,8 @@ def _make_full(cfg, impl: str, nfft: int):
                 precision=cfg.algorithm.rescale_precision,
                 method=cfg.algorithm.rescale_method,
             )
-        if cfg.algorithm.intensity_dtype == "bfloat16":
-            intensity = intensity.astype(jnp.bfloat16)
+            if bf16_int:
+                intensity = intensity.astype(jnp.bfloat16)
         # HONEST-MATERIALIZATION fingerprint (r3 fix): the barrier forces
         # the [1024, F·PN] intensity and the waterfall — the artifacts
         # production returns — to be fully WRITTEN to HBM before the

@@ -111,15 +111,16 @@ def _db_rescale_kernel(p_ref, gmax_ref, whi_ref, wlo_ref, wnyq_ref,
     db_lo = dbm - db_hi
     d = functools.partial(jnp.dot, preferred_element_type=jnp.float32,
                           precision=jax.lax.Precision.DEFAULT)
-    int_ref[:] = (d(whi_ref[:], db_hi) + d(whi_ref[:], db_lo)
-                  + d(wlo_ref[:], db_hi)
-                  + wnyq_ref[:] * db[k_main : k_main + 1, :])
+    acc = (d(whi_ref[:], db_hi) + d(whi_ref[:], db_lo)
+           + d(wlo_ref[:], db_hi)
+           + wnyq_ref[:] * db[k_main : k_main + 1, :])
+    int_ref[:] = acc.astype(int_ref.dtype)
 
 
 def spectrogram_pallas(
     sig: jax.Array, valid_len: jax.Array, op: StftOperator,
     num_bins: int = 1024, tile: int = 2048, tile2: int = 512,
-    interpret: bool | None = None,
+    intensity_dtype=jnp.float32, interpret: bool | None = None,
 ):
     """Full spectrogram export from a packed |slow-time| signal.
 
@@ -222,7 +223,10 @@ def spectrogram_pallas(
         ],
         out_shape=[
             jax.ShapeDtypeStruct((nb_pad, t_pad), jnp.float32),
-            jax.ShapeDtypeStruct((num_bins, t_pad), jnp.float32),
+            # bf16 emission happens in the kernel epilogue: casting the
+            # f32 artifact afterwards would re-read and re-write the
+            # chain's largest tensor (measured -25% end to end).
+            jax.ShapeDtypeStruct((num_bins, t_pad), intensity_dtype),
         ],
         cost_estimate=pl.CostEstimate(
             flops=2 * t_pad * num_bins * k_main,

@@ -138,10 +138,16 @@ class RadarPipeline:
                 spectrogram_pallas,
             )
 
+            int_dtype = (jnp.bfloat16 if a.intensity_dtype == "bfloat16"
+                         else jnp.float32)
+
             @jax.jit
             def stage(signal_abs: jax.Array, valid_len: jax.Array):
+                # bf16 intensity emitted by the kernel epilogue — casting
+                # afterwards would round-trip the largest artifact.
                 _, db, intensity = spectrogram_pallas(
-                    signal_abs, valid_len, op, a.max_freq_bins
+                    signal_abs, valid_len, op, a.max_freq_bins,
+                    intensity_dtype=int_dtype,
                 )
                 freqs = jnp.arange(
                     op.num_bins, dtype=jnp.float32
@@ -149,8 +155,6 @@ class RadarPipeline:
                 t = db.shape[-1]
                 times = (jnp.arange(t, dtype=jnp.float32)
                          + op.window_length / 2.0) / jnp.float32(op.fs)
-                if a.intensity_dtype == "bfloat16":
-                    intensity = intensity.astype(jnp.bfloat16)
                 return (times, log_bins_axis(freqs, a.max_freq_bins),
                         intensity, freqs, db)
 
