@@ -7,11 +7,13 @@ reference's MATLAB loop; the reference publishes no throughput numbers,
 BASELINE.md).
 
 ``--matrix`` runs the full benchmark matrix over BASELINE.json's five
-configs plus a literal-fidelity STFT line, with implementation variants
-(xla / fused / fused_bf16 / pallas / pallas_profile) on the batched-replay
-config, and per-row estimated FLOPs, TFLOP/s, MFU against the chip's peak,
-and output SNR vs the MATLAB-semantics oracle. Results go to
-BENCH_MATRIX.json and a printed table (VERDICT r1 items 3/4/10).
+configs plus a literal-fidelity STFT line, with an (impl × MXU-precision ×
+export-path × artifact-dtype) variant grid on the batched-replay config,
+and per-row estimated FLOPs, TFLOP/s, MFU, an analytic bytes/frame model
+with achieved GB/s against the chip's HBM peak, and output SNR vs the
+MATLAB-semantics f64 oracle. Every row is steady-state on-device timing
+with returned artifacts barrier-materialized (see _make_full). Results go
+to BENCH_MATRIX.json and printed JSON lines.
 """
 
 from __future__ import annotations
