@@ -359,8 +359,11 @@ def bench_tpu(cfg, raw, calib, iters: int = 3, impl: str = "auto",
     return raw.shape[0] / dt
 
 
-def bench_cpu_oracle(cfg, raw_matlab, calib, nfft: int) -> float:
-    """Serial reference-semantics chain on CPU (frames/sec)."""
+def bench_cpu_oracle(cfg, raw_matlab, calib, nfft: int,
+                     iters: int = 2) -> float:
+    """Serial reference-semantics chain on CPU (frames/sec, best of
+    ``iters`` — the shared bench host is noisy and a one-shot baseline
+    made vs_baseline swing ~2× between runs)."""
     from tests.oracle import (
         log_rescale_oracle,
         process_recording_oracle,
@@ -369,17 +372,19 @@ def bench_cpu_oracle(cfg, raw_matlab, calib, nfft: int) -> float:
     )
 
     f = raw_matlab.shape[0]
-    t0 = time.perf_counter()
-    res = process_recording_oracle(raw_matlab, calib, cfg)
-    iq = abs(res.slow_time_signal)
-    if len(iq) >= cfg.algorithm.stft_window_length:
-        freqs, times, p = spectrogram_oracle(
-            iq, 1.0 / cfg.derived.prt, nfft=nfft
-        )
-        db = psd_db_oracle(p)
-        log_rescale_oracle(freqs, db)
-    dt = time.perf_counter() - t0
-    return f / dt
+    best = float("inf")
+    for _ in range(iters):
+        t0 = time.perf_counter()
+        res = process_recording_oracle(raw_matlab, calib, cfg)
+        iq = abs(res.slow_time_signal)
+        if len(iq) >= cfg.algorithm.stft_window_length:
+            freqs, times, p = spectrogram_oracle(
+                iq, 1.0 / cfg.derived.prt, nfft=nfft
+            )
+            db = psd_db_oracle(p)
+            log_rescale_oracle(freqs, db)
+        best = min(best, time.perf_counter() - t0)
+    return f / best
 
 
 # ---------------------------------------------------------------------------
