@@ -131,14 +131,12 @@ def _one_size_main() -> int:
     """Subprocess body: one timed run, optionally barrier-synced."""
     n = int(os.environ["BENCH_ONE_SIZE"])
     fpd = int(os.environ.get("BENCH_FRAMES_PER_DEVICE", "2048"))
-    kind = os.environ.get("BENCH_KIND", "dp")
     start_at = float(os.environ.get("BENCH_START_AT", "0"))
     cfg = RadarConfig.create(default_device_config())
     f = n * fpd
     raw, calib = _recording(cfg, f)
     mesh = make_mesh(data=n, model=1, devices=jax.devices()[:n])
-    chain = (make_sharded_frame_chain(cfg, mesh) if n > 1 or kind == "dp"
-             else make_sharded_frame_chain(cfg, mesh))
+    chain = make_sharded_frame_chain(cfg, mesh)
     chain(raw, calib).waterfall.block_until_ready()  # compile BEFORE barrier
     if start_at:
         while time.time() < start_at:

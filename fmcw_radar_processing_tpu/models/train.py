@@ -16,6 +16,7 @@ from __future__ import annotations
 import dataclasses
 import json
 import os
+import time
 from typing import Any, Callable
 
 import jax
@@ -164,6 +165,7 @@ class Trainer:
         rng = np.random.default_rng(self.config.seed)
         for epoch in range(epochs):
             losses, accs = [], []
+            t0 = time.perf_counter()
             for batch_idx in self._batches(len(images), rng):
                 x = jnp.asarray(images[batch_idx])
                 y = jnp.asarray(labels[batch_idx])
@@ -174,10 +176,15 @@ class Trainer:
                 self.state, metrics = self._train_step(self.state, x, y, dk)
                 losses.append(float(metrics["loss"]))
                 accs.append(float(metrics["accuracy"]))
+            # Step-loop wall time only (the float(metrics) pulls sync every
+            # step) — epoch 1 includes jit compile; val passes are outside.
+            train_seconds = time.perf_counter() - t0
             entry = {
                 "epoch": epoch + 1,
                 "loss": float(np.mean(losses)),
                 "accuracy": float(np.mean(accs)),
+                "steps": len(losses),
+                "train_seconds": round(train_seconds, 4),
             }
             if val is not None:
                 vloss, vacc, _ = self.evaluate(*val)

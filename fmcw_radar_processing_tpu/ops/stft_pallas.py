@@ -140,6 +140,10 @@ def spectrogram_pallas(
         interpret = jax.default_backend() not in ("tpu", "axon")
     if op.hop != 1:
         raise ValueError("spectrogram_pallas supports hop=1 only")
+    if tile % tile2:
+        # Phase 2's grid is t_pad // tile2; a non-divisor tile2 would leave
+        # trailing columns unwritten (uninitialized memory) silently.
+        raise ValueError(f"tile ({tile}) must be a multiple of tile2 ({tile2})")
     wl = op.window_length
     nb = op.num_bins
     # Bin rows pad to a 128 multiple: the phase-2 contraction runs over

@@ -60,8 +60,10 @@ class ShardedStft:
         def run(x_local, vlen):
             chunk = x_local.shape[0]
             # Halo: first W−1 samples of the right neighbor, shifted left.
-            # Device n−1 receives zeros (ppermute default for missing
-            # sources) — its trailing columns are masked below anyway.
+            # The perm wraps circularly, so device n−1 receives device 0's
+            # HEAD samples — wrong data for its trailing columns, which is
+            # harmless because those columns are globally invalid (the last
+            # W−1 window starts of the signal) and masked below.
             halo = jax.lax.ppermute(
                 x_local[: w - 1],
                 axis_name=DATA_AXIS,

@@ -193,7 +193,17 @@ def cmd_classifier_e2e(args) -> int:
         seed=args.seed,
         grad_clip_norm=args.grad_clip,
     )
-    classes = tuple(CLASS_SPECS[n] for n in args.classes.split(","))
+    names = [t.strip() for t in args.classes.split(",") if t.strip()]
+    unknown = sorted(set(names) - set(CLASS_SPECS))
+    if unknown or len(names) < 2:
+        print(
+            f"--classes: got {names!r}; need ≥2 comma-separated names "
+            f"from {sorted(CLASS_SPECS)}"
+            + (f" (unknown: {unknown})" if unknown else ""),
+            file=sys.stderr,
+        )
+        return 2
+    classes = tuple(CLASS_SPECS[n] for n in names)
     report = run_classifier_experiment(
         args.out_dir, cfg, classes,
         reuse_dataset=args.reuse_dataset, log_fn=print,
