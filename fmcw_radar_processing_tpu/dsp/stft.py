@@ -215,17 +215,19 @@ def log_bins_axis(freqs: jax.Array, num_bins: int = 1024) -> jax.Array:
 
 
 def resolve_stft_impl(impl: str, hop: int, nfft: int = 256) -> str:
-    """'auto' → the fused Pallas export on TPU at hop 1 and production
-    nfft, else the XLA operator composition.
+    """'auto' → the fused Pallas export on TPU at hop 1 (any nfft), else
+    the XLA operator composition.
 
-    The nfft gate is a VMEM budget: the phase-2 interpolation kernel holds
-    [1024, nb_pad] weight halves plus double-buffered tiles; past
-    nfft 512 (nb_pad 512) that overflows the 16 MB scoped-VMEM limit
-    (measured compile OOM at the fidelity-mode nfft=2048 bucket)."""
+    The former nfft ≤ 512 gate (whole [1024, nb] weight halves VMEM-
+    resident in phase 2 — measured compile OOM at nfft 2048) is lifted:
+    past nfft 512 ``spectrogram_pallas`` switches to a bin-blocked kernel
+    pair whose VMEM footprint is nfft-independent, so the reference's
+    literal 2^nextpow2(L) fidelity mode (radar_processing.m:273) also
+    takes the fused export."""
     if impl != "auto":
         return impl
     on_tpu = jax.default_backend() in ("tpu", "axon")
-    return "pallas" if (on_tpu and hop == 1 and nfft <= 512) else "xla"
+    return "pallas" if (on_tpu and hop == 1) else "xla"
 
 
 @functools.lru_cache(maxsize=32)

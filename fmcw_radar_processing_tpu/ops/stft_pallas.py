@@ -84,6 +84,73 @@ def _psd_kernel(fr_ref, op_ref, nv_ref, p_ref, tmax_ref, *,
     tmax_ref[i] = jnp.max(p)
 
 
+def _psd_kernel_tiled(fr_ref, are_ref, aim_ref, nv_ref, p_ref, tmax_ref, *,
+                      tile: int, n_kb: int):
+    """Bin-blocked phase 1 (large nfft): grid (time tile i, bin block k).
+
+    The folded operator's re/im planes arrive as separate [kb, W] blocks,
+    so no weight plane ever needs to be VMEM-resident whole — this is what
+    lifts the untiled kernel's nfft ≤ 512 VMEM gate (the [2·nb_pad, W]
+    operator block grows linearly with nfft). The frame tile is re-read per
+    bin block (W·tile·4·n_kb bytes — small against the PSD write)."""
+    i = pl.program_id(0)
+    k = pl.program_id(1)
+    fr = fr_ref[:]
+    s_re = jnp.dot(are_ref[:], fr, preferred_element_type=jnp.float32,
+                   precision=jax.lax.Precision.HIGHEST)
+    s_im = jnp.dot(aim_ref[:], fr, preferred_element_type=jnp.float32,
+                   precision=jax.lax.Precision.HIGHEST)
+    p = s_re**2 + s_im**2  # [kb, tile]; scaling folded into operator rows
+    col = i * tile + jax.lax.broadcasted_iota(jnp.int32, p.shape, 1)
+    p = jnp.where(col < nv_ref[0], p, 0.0)
+    p_ref[:] = p
+    tmax_ref[i * n_kb + k] = jnp.max(p)
+
+
+def _db_rescale_kernel_tiled(p_ref, gmax_ref, whi_ref, wlo_ref,
+                             db_ref, int_ref, acc_ref, *, n_kb: int):
+    """Bin-blocked phase 2: K-loop accumulation over bin blocks.
+
+    Grid is (time tile i, bin block k) with k innermost; the [num_bins, kb]
+    weight blocks stream through VMEM instead of the whole [1024, nb]
+    halves, and the interpolation accumulates into an f32 VMEM scratch
+    emitted (with the dtype cast) on the last bin block. The Nyquist column
+    rides the bf16x3 contraction here (zero-padded weights keep the lane-
+    aligned K) instead of the untiled kernel's exact f32 rank-1 peel — both
+    are ≤ 2^-21 relative, i.e. HIGH-equivalent."""
+    k = pl.program_id(1)
+    p = p_ref[:]  # [kb, tile2]
+    g = gmax_ref[0]
+    safe = jnp.where(g > 0, g, 1.0)
+    db = jnp.where(
+        p > 0,
+        jnp.maximum(
+            jnp.float32(LN10_INV_20)
+            * jnp.log(jnp.maximum(p, 1e-45) / safe),
+            jnp.float32(DB_FLOOR),
+        ),
+        jnp.float32(DB_FLOOR),
+    )
+    db_ref[:] = db
+    db_hi = db.astype(jnp.bfloat16).astype(jnp.float32)
+    db_lo = db - db_hi
+    d = functools.partial(jnp.dot, preferred_element_type=jnp.float32,
+                          precision=jax.lax.Precision.DEFAULT)
+    part = d(whi_ref[:], db_hi) + d(whi_ref[:], db_lo) + d(wlo_ref[:], db_hi)
+
+    @pl.when(k == 0)
+    def _init():
+        acc_ref[:] = part
+
+    @pl.when(k > 0)
+    def _accum():
+        acc_ref[:] = acc_ref[:] + part
+
+    @pl.when(k == n_kb - 1)
+    def _emit():
+        int_ref[:] = acc_ref[:].astype(int_ref.dtype)
+
+
 def _db_rescale_kernel(p_ref, gmax_ref, whi_ref, wlo_ref, wnyq_ref,
                        db_ref, int_ref, *, k_main: int):
     p = p_ref[:]  # [nb_pad, tile]
@@ -121,6 +188,7 @@ def spectrogram_pallas(
     sig: jax.Array, valid_len: jax.Array, op: StftOperator,
     num_bins: int = 1024, tile: int = 2048, tile2: int = 512,
     intensity_dtype=jnp.float32, interpret: bool | None = None,
+    tiled: bool | None = None,
 ):
     """Full spectrogram export from a packed |slow-time| signal.
 
@@ -135,6 +203,14 @@ def spectrogram_pallas(
 
     hop is fixed at 1 (the reference's setting — the only hop where this
     fusion matters; other hops go through the XLA operator).
+
+    tiled: None (default) picks the bin-blocked kernel pair when
+    nb_pad > 512 — the untiled kernels' whole-operator/whole-weight VMEM
+    residency overflows the 16 MB scoped limit past nfft 512 (measured
+    compile OOM at nfft 2048), while the tiled pair streams [kb, ·] blocks
+    and runs any nfft, including the reference's literal
+    2^nextpow2(L) fidelity mode (radar_processing.m:273). The production
+    nfft ≤ 512 path keeps the measured-fastest untiled kernels unchanged.
     """
     if interpret is None:
         interpret = jax.default_backend() not in ("tpu", "axon")
@@ -159,8 +235,15 @@ def spectrogram_pallas(
     # XLA-side im2col, padded to the tile grid: [W, t_pad].
     sig_pad = jnp.zeros(t_pad + wl - 1, sig.dtype).at[:l].set(sig)
     frames = op.frame_signal(sig_pad)  # [W, t_pad]
-    a2 = jnp.asarray(_folded_operator(op))  # [2·nb_pad, W]
     nv = (jnp.asarray(valid_len, jnp.int32) - wl + 1).reshape(1)
+    if tiled is None:
+        tiled = nb_pad > 512
+    if tiled:
+        return _spectrogram_tiled(
+            frames, nv, op, nb, nb_pad, num_bins, tile, tile2,
+            n_tiles, t_pad, t, intensity_dtype, interpret,
+        )
+    a2 = jnp.asarray(_folded_operator(op))  # [2·nb_pad, W]
 
     p_pad, tmax = pl.pallas_call(
         functools.partial(_psd_kernel, tile=tile, nb_pad=nb_pad),
@@ -240,5 +323,99 @@ def spectrogram_pallas(
         interpret=interpret,
     )(p_pad, gmax.reshape(1), jnp.asarray(w_hi), jnp.asarray(w_lo),
       jnp.asarray(w_nyq))
+
+    return (p_pad[:nb, :t], db_pad[:nb, :t], intensity[:, :t])
+
+
+def _spectrogram_tiled(
+    frames, nv, op: StftOperator, nb: int, nb_pad: int, num_bins: int,
+    tile: int, tile2: int, n_tiles: int, t_pad: int, t: int,
+    intensity_dtype, interpret: bool, kb: int = 128,
+):
+    """Bin-blocked kernel pair for large nfft (see spectrogram_pallas).
+
+    VMEM per phase-2 step at (kb=128, tile2=512): two [1024, 128] weight
+    halves (0.5 MB each, double-buffered), [128, 512] p/db blocks, the
+    [1024, 512] intensity block plus its f32 scratch accumulator — ~10 MB,
+    independent of nfft. Weight blocks are re-streamed once per time tile
+    (2·num_bins·nb_pad·4 bytes each — for the fidelity mode's nfft 16384
+    that is ~68 MB per tile, ≪ 1 ms of HBM per 2048 columns)."""
+    wl = op.window_length
+    n_kb = nb_pad // kb  # nb_pad is a 128-multiple, kb = 128 ⇒ exact
+    a2 = _folded_operator(op)  # [2·nb_pad, W] host constant
+    a_re, a_im = jnp.asarray(a2[:nb_pad]), jnp.asarray(a2[nb_pad:])
+
+    p_pad, tmax = pl.pallas_call(
+        functools.partial(_psd_kernel_tiled, tile=tile, n_kb=n_kb),
+        grid=(n_tiles, n_kb),
+        in_specs=[
+            pl.BlockSpec((wl, tile), lambda i, k: (0, i),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((kb, wl), lambda i, k: (k, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((kb, wl), lambda i, k: (k, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((kb, tile), lambda i, k: (k, i),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((n_tiles * n_kb,), lambda i, k: (0,),
+                         memory_space=pltpu.SMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((nb_pad, t_pad), jnp.float32),
+            jax.ShapeDtypeStruct((n_tiles * n_kb,), jnp.float32),
+        ],
+        cost_estimate=pl.CostEstimate(
+            flops=2 * t_pad * 2 * nb_pad * wl,
+            bytes_accessed=4 * (n_kb * wl * t_pad + nb_pad * t_pad),
+            transcendentals=0,
+        ),
+        interpret=interpret,
+    )(frames, a_re, a_im, nv)
+
+    gmax = jnp.max(tmax)
+
+    # Zero-padded weights [num_bins, nb_pad]: columns ≥ nb are zero, so the
+    # pad rows' DB_FLOOR contributes exactly 0 to the contraction.
+    w_full = _log_interp_matrix(nb, num_bins)
+    w_pad = np.zeros((num_bins, nb_pad), np.float32)
+    w_pad[:, :nb] = w_full
+    w_hi = w_pad.astype(jnp.bfloat16).astype(np.float32)
+    w_lo = (w_pad - w_hi).astype(np.float32)
+
+    n_tiles2 = t_pad // tile2
+    db_pad, intensity = pl.pallas_call(
+        functools.partial(_db_rescale_kernel_tiled, n_kb=n_kb),
+        grid=(n_tiles2, n_kb),
+        in_specs=[
+            pl.BlockSpec((kb, tile2), lambda i, k: (k, i),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec((num_bins, kb), lambda i, k: (0, k),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((num_bins, kb), lambda i, k: (0, k),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((kb, tile2), lambda i, k: (k, i),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((num_bins, tile2), lambda i, k: (0, i),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((nb_pad, t_pad), jnp.float32),
+            jax.ShapeDtypeStruct((num_bins, t_pad), intensity_dtype),
+        ],
+        scratch_shapes=[pltpu.VMEM((num_bins, tile2), jnp.float32)],
+        cost_estimate=pl.CostEstimate(
+            flops=2 * t_pad * num_bins * nb_pad,
+            bytes_accessed=4 * (2 * nb_pad * t_pad + num_bins * t_pad
+                                + n_tiles2 * 2 * num_bins * nb_pad),
+            transcendentals=nb_pad * t_pad,
+        ),
+        interpret=interpret,
+    )(p_pad, gmax.reshape(1), jnp.asarray(w_hi), jnp.asarray(w_lo))
 
     return (p_pad[:nb, :t], db_pad[:nb, :t], intensity[:, :t])

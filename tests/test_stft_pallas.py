@@ -69,6 +69,58 @@ def test_matches_xla_composition(l, count):
                                int_ref[:, ncols:], atol=0.2)
 
 
+@pytest.mark.parametrize("nfft,l,count", [(2048, 1400, 1400),
+                                          (1024, 1536, 1200)])
+def test_tiled_matches_xla_composition(nfft, l, count):
+    """Bin-blocked kernel pair (nfft > 512 — the lifted VMEM gate)."""
+    rng = np.random.default_rng(11)
+    sig_np = np.zeros(l, np.float32)
+    sig_np[:count] = np.abs(
+        rng.standard_normal(count) + 0.5 * np.sin(np.arange(count) * 0.17)
+    ).astype(np.float32)
+    sig = jnp.asarray(sig_np)
+    op = StftOperator.create(window_length=20, beta=3.0, nfft=nfft,
+                             fs=1000.0, hop=1)
+    p, db, intensity = spectrogram_pallas(sig, jnp.asarray(count), op,
+                                          tile=512, tile2=256)
+    p_ref, db_ref, int_ref = _ref(op, sig, count)
+
+    assert p.shape == p_ref.shape
+    np.testing.assert_allclose(np.asarray(p), p_ref, rtol=1e-4, atol=1e-10)
+    m = db_ref > -120
+    np.testing.assert_allclose(np.asarray(db)[m], db_ref[m], atol=1e-3)
+    np.testing.assert_array_equal(np.asarray(db) == DB_FLOOR,
+                                  db_ref == DB_FLOOR)
+    mi = int_ref > -120
+    np.testing.assert_allclose(np.asarray(intensity)[mi], int_ref[mi],
+                               atol=2e-3)
+    ncols = count - 20 + 1
+    assert np.all(np.asarray(p)[:, ncols:] == 0.0)
+    assert np.all(np.asarray(db)[:, ncols:] == DB_FLOOR)
+    np.testing.assert_allclose(np.asarray(intensity)[:, ncols:],
+                               int_ref[:, ncols:], atol=0.2)
+
+
+def test_tiled_forced_small_nfft_matches_untiled():
+    """tiled=True at production nfft must equal the untiled kernels."""
+    rng = np.random.default_rng(3)
+    sig = jnp.asarray(np.abs(rng.standard_normal(900)).astype(np.float32))
+    op = StftOperator.create(window_length=20, beta=3.0, nfft=256,
+                             fs=1000.0, hop=1)
+    a = spectrogram_pallas(sig, jnp.asarray(900), op, tile=512, tile2=256,
+                           tiled=False)
+    b = spectrogram_pallas(sig, jnp.asarray(900), op, tile=512, tile2=256,
+                           tiled=True)
+    np.testing.assert_allclose(np.asarray(a[0]), np.asarray(b[0]),
+                               rtol=1e-6, atol=1e-12)
+    np.testing.assert_allclose(np.asarray(a[1]), np.asarray(b[1]),
+                               atol=1e-4)
+    # Intensity: untiled peels Nyquist exactly (f32 rank-1), tiled runs it
+    # through the bf16x3 contraction — both HIGH-equivalent (≤ 2^-21 rel).
+    np.testing.assert_allclose(np.asarray(a[2]), np.asarray(b[2]),
+                               atol=2e-3)
+
+
 def test_rejects_bad_args():
     op = StftOperator.create(window_length=20, beta=3.0, nfft=256,
                              fs=1000.0, hop=2)
