@@ -148,6 +148,27 @@ def _profile_kernel(x_ref, w_ref, off_ref, prof_ref, *, group: int, pn: int,
     prof_ref[:] = jnp.max(mag.reshape(group, pn, k), axis=1)
 
 
+def _profile_kernel_b3(x_ref, whi_ref, wlo_ref, off_ref, prof_ref, *,
+                       group: int, pn: int, k: int):
+    """HIGH-equivalent profile kernel: explicit bf16x3 3-dot split (Mosaic
+    has no Precision.HIGH dot — same construction as stft_pallas's
+    phase-2 interpolation). w_hi is exactly bf16-representable (split on
+    the host), x splits here; the dropped x_lo·w_lo term is ~2^-18
+    relative. 3 MXU passes instead of HIGHEST's 6 on the chain's dominant
+    matmul — measured pass-bound, not traffic-bound (ROOFLINE_r04)."""
+    x = x_ref[:]
+    x_hi = x.astype(jnp.bfloat16).astype(jnp.float32)
+    x_lo = x - x_hi
+    d = functools.partial(jnp.dot, preferred_element_type=jnp.float32,
+                          precision=jax.lax.Precision.DEFAULT)
+    whi = whi_ref[:]
+    y = (d(x_hi, whi) + d(x_lo, whi) + d(x_hi, wlo_ref[:])) - off_ref[:]
+    yr = y[:, :k]
+    yi = y[:, k:]
+    mag = jnp.sqrt(yr * yr + yi * yi)
+    prof_ref[:] = jnp.max(mag.reshape(group, pn, k), axis=1)
+
+
 def _packed_blocked_weight(m) -> np.ndarray:
     """[2·NTS, 2·K] real weight with re|im BLOCK columns (cols [:K] give the
     real part, [K:] the imaginary part), for interleaved-pair input rows.
@@ -167,12 +188,14 @@ def _packed_blocked_weight(m) -> np.ndarray:
 
 
 @functools.partial(
-    jax.jit, static_argnames=("cfg", "interpret", "group", "compute_dtype")
+    jax.jit,
+    static_argnames=("cfg", "interpret", "group", "compute_dtype",
+                     "precision"),
 )
 def fast_time_profile_pallas(
     raw: jax.Array, calib: jax.Array, cfg: RadarConfig,
     interpret: bool | None = None, group: int | None = None,
-    compute_dtype=jnp.float32,
+    compute_dtype=jnp.float32, precision: str | None = None,
 ):
     """Profile-ONLY fused fast-time stage (VERDICT r1 item 4).
 
@@ -203,18 +226,24 @@ def fast_time_profile_pallas(
     jnp.float32 → lax.Precision.HIGHEST (genuinely exact, unlike the
     DEFAULT-precision XLA paths); jnp.bfloat16 → lax.Precision.DEFAULT
     (bf16 multiply passes, f32 accumulate — the same accuracy class as
-    every default XLA f32 matmul in this codebase). Accuracy cost is
-    recorded by bench.py's SNR columns, not guessed.
+    every default XLA f32 matmul in this codebase). ``precision``
+    overrides: "highest" (6 passes) / "high" (explicit bf16x3, 3 passes,
+    ~2^-18 relative — _profile_kernel_b3) / "default" (1 pass). Accuracy
+    cost is recorded by bench.py's SNR columns, not guessed.
     """
     if interpret is None:
         interpret = jax.default_backend() not in ("tpu", "axon")
-    precision = (jax.lax.Precision.HIGHEST if compute_dtype == jnp.float32
-                 else jax.lax.Precision.DEFAULT)
+    if precision is None:
+        precision = ("highest" if compute_dtype == jnp.float32
+                     else "default")
+    mxu_prec = (jax.lax.Precision.HIGHEST if precision == "highest"
+                else jax.lax.Precision.DEFAULT)
     f, pn = raw.shape[0], raw.shape[1]
     nts = cfg.nts
     k = cfg.range_fft_size
     m = build_fast_time_matrix(cfg)
-    w = jnp.asarray(_packed_blocked_weight(m))  # [2·NTS, 2·K]
+    w_np = _packed_blocked_weight(m)  # [2·NTS, 2·K] host constant
+    w = jnp.asarray(w_np)
     off = calib.astype(jnp.float32).reshape(1, 2 * nts) @ w  # [1, 2K], f32
 
     if group is None:
@@ -226,18 +255,14 @@ def fast_time_profile_pallas(
 
     rows = group * pn
     grid = (f_pad // group,)
-    prof = pl.pallas_call(
-        functools.partial(_profile_kernel, group=group, pn=pn, k=k,
-                          precision=precision),
+    row_spec = pl.BlockSpec((rows, 2 * nts), lambda i: (i, 0),
+                            memory_space=pltpu.VMEM)
+    w_spec = pl.BlockSpec((2 * nts, 2 * k), lambda i: (0, 0),
+                          memory_space=pltpu.VMEM)
+    off_spec = pl.BlockSpec((1, 2 * k), lambda i: (0, 0),
+                            memory_space=pltpu.VMEM)
+    common = dict(
         grid=grid,
-        in_specs=[
-            pl.BlockSpec((rows, 2 * nts), lambda i: (i, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((2 * nts, 2 * k), lambda i: (0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 2 * k), lambda i: (0, 0),
-                         memory_space=pltpu.VMEM),
-        ],
         out_specs=pl.BlockSpec((group, k), lambda i: (i, 0),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((f_pad, k), jnp.float32),
@@ -247,5 +272,20 @@ def fast_time_profile_pallas(
             transcendentals=f_pad * pn * k,  # sqrt
         ),
         interpret=interpret,
-    )(x, w, off)
+    )
+    if precision == "high":
+        w_hi = w_np.astype(jnp.bfloat16).astype(np.float32)
+        w_lo = (w_np - w_hi).astype(np.float32)
+        prof = pl.pallas_call(
+            functools.partial(_profile_kernel_b3, group=group, pn=pn, k=k),
+            in_specs=[row_spec, w_spec, w_spec, off_spec],
+            **common,
+        )(x, jnp.asarray(w_hi), jnp.asarray(w_lo), off)
+    else:
+        prof = pl.pallas_call(
+            functools.partial(_profile_kernel, group=group, pn=pn, k=k,
+                              precision=mxu_prec),
+            in_specs=[row_spec, w_spec, off_spec],
+            **common,
+        )(x, w, off)
     return prof[:f]

@@ -49,16 +49,23 @@ from fmcw_radar_processing_tpu.dsp.stft import (
 LN10_INV_20 = float(20.0 / np.log(10.0))
 
 
-def _folded_operator(op: StftOperator) -> np.ndarray:
+def _folded_operator(op: StftOperator, align: int = 8) -> np.ndarray:
     """[2·nb_pad, W] stacked re/im DFT operator with √(scale·dbl) folded
-    into each row pair, zero-padded to an 8-multiple sublane count."""
+    into each row pair, zero-padded so nb_pad is a multiple of ``align``.
+
+    align 8 (sublane granularity) for the untiled kernels — the PSD/dB
+    stores then carry only 7-row padding instead of the r3 128-alignment's
+    127 rows, which at nfft 256 wasted ~2× the [nb, T] write+read traffic
+    (the phase-2 CONTRACTION never needed it: since the Nyquist peel its K
+    is k_main = nb−1, a power of two). align 128 for the tiled kernels,
+    whose kb=128 bin blocks must divide nb_pad."""
     nb = op.num_bins
     dbl = np.full(nb, 2.0, np.float32)
     dbl[0] = 1.0
     if op.nfft % 2 == 0:
         dbl[-1] = 1.0
     c = np.sqrt(op.scale * dbl).astype(np.float32)[:, None]
-    nb_pad = -(-nb // 128) * 128
+    nb_pad = -(-nb // align) * align
     a2 = np.zeros((2 * nb_pad, op.window_length), np.float32)
     a2[:nb] = op.a_re * c
     a2[nb_pad : nb_pad + nb] = op.a_im * c
@@ -222,10 +229,14 @@ def spectrogram_pallas(
         raise ValueError(f"tile ({tile}) must be a multiple of tile2 ({tile2})")
     wl = op.window_length
     nb = op.num_bins
-    # Bin rows pad to a 128 multiple: the phase-2 contraction runs over
-    # this axis and Mosaic's MXU lowering requires lane-aligned K (the
-    # 136-sublane variant crashed its compiler).
-    nb_pad = -(-nb // 128) * 128
+    # Storage alignment: 8-row sublane multiples. The r3 kernels padded to
+    # 128 ("the contraction runs over this axis") — but since the Nyquist
+    # peel the phase-2 contraction K is k_main = nb−1 (a power of two), so
+    # only sublane granularity is required of the STORES, and the 128-pad
+    # was writing 256 PSD/dB rows where 129 are real: measured ~2 GB of
+    # pure padding traffic per 65536-frame replay at nfft 256. The tiled
+    # path keeps 128 (its kb-blocks must divide nb_pad).
+    nb_pad = -(-nb // 8) * 8
     l = sig.shape[0]
     t = l - wl + 1
     if t <= 0:
@@ -240,10 +251,10 @@ def spectrogram_pallas(
         tiled = nb_pad > 512
     if tiled:
         return _spectrogram_tiled(
-            frames, nv, op, nb, nb_pad, num_bins, tile, tile2,
+            frames, nv, op, nb, -(-nb // 128) * 128, num_bins, tile, tile2,
             n_tiles, t_pad, t, intensity_dtype, interpret,
         )
-    a2 = jnp.asarray(_folded_operator(op))  # [2·nb_pad, W]
+    a2 = jnp.asarray(_folded_operator(op, align=8))  # [2·nb_pad, W]
 
     p_pad, tmax = pl.pallas_call(
         functools.partial(_psd_kernel, tile=tile, nb_pad=nb_pad),
@@ -342,7 +353,7 @@ def _spectrogram_tiled(
     that is ~68 MB per tile, ≪ 1 ms of HBM per 2048 columns)."""
     wl = op.window_length
     n_kb = nb_pad // kb  # nb_pad is a 128-multiple, kb = 128 ⇒ exact
-    a2 = _folded_operator(op)  # [2·nb_pad, W] host constant
+    a2 = _folded_operator(op, align=128)  # [2·nb_pad, W] host constant
     a_re, a_im = jnp.asarray(a2[:nb_pad]), jnp.asarray(a2[nb_pad:])
 
     p_pad, tmax = pl.pallas_call(

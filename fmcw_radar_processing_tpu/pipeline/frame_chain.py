@@ -90,6 +90,10 @@ def make_frame_chain(
       'pallas' hand-fused VMEM kernels (ops/) for fast-time + peak search.
       'pallas_profile'  profile-only Pallas fast-time kernel (the range-FFT
                cube never reaches HBM) + XLA peak search.
+      'pallas_profile_high'  same kernel at bf16x3 (3 MXU passes,
+               ~2^-18 relative — ops/fast_time_pallas._profile_kernel_b3)
+               instead of HIGHEST's 6: the kernel is pass-bound, not
+               traffic-bound (ROOFLINE_r04), so this halves its time.
       'pallas_profile_bf16'  same kernel with in-register bf16 MXU operands
                (f32 accumulate, f32 HBM traffic) — 2× MXU rate on the
                dominant matmul; payload-side rf_at_bins stays f32.
@@ -98,7 +102,8 @@ def make_frame_chain(
     """
     impl = resolve_impl(impl)
     if impl not in ("fused", "xla", "pallas", "pallas_profile",
-                    "pallas_profile_bf16", "fused_bf16"):
+                    "pallas_profile_high", "pallas_profile_bf16",
+                    "fused_bf16"):
         raise ValueError(f"unknown impl {impl!r}")
     ft = FastTimeOperator.create(cfg)
     pft = PackedFastTime.create(
@@ -119,7 +124,8 @@ def make_frame_chain(
 
             rf, profile = fast_time_pallas(raw, calib, cfg)
             det = search_peaks_pallas(profile, cfg)
-        elif (impl in ("pallas_profile", "pallas_profile_bf16")
+        elif (impl in ("pallas_profile", "pallas_profile_high",
+                       "pallas_profile_bf16")
               and not return_range_fft):
             from fmcw_radar_processing_tpu.ops.fast_time_pallas import (
                 fast_time_profile_pallas,
@@ -129,6 +135,8 @@ def make_frame_chain(
                 raw, calib, cfg,
                 compute_dtype=(jnp.bfloat16 if impl == "pallas_profile_bf16"
                                else jnp.float32),
+                precision=("high" if impl == "pallas_profile_high"
+                           else None),
             )
             det = search_peaks(profile, cfg)
         elif impl in ("fused", "fused_bf16") and not return_range_fft:

@@ -44,6 +44,27 @@ def test_profile_only_pallas_pipeline_matches_xla(cfg, rng):
                                rtol=1e-6, atol=1e-7)
 
 
+def test_profile_only_pallas_high_matches_f32(cfg, rng):
+    """pallas_profile_high (bf16x3, 3 MXU passes): detections/ranges
+    identical; waterfall within the ~2^-18 relative split error — far
+    tighter than the bf16 variants' ~2^-8 quantization."""
+    frames, calib = _mixed_recording(cfg, rng, f=12)
+    f32 = RadarPipeline(cfg, impl="fused").process_recording(
+        _tpu_layout(frames), calib
+    )
+    hi = RadarPipeline(cfg, impl="pallas_profile_high").process_recording(
+        _tpu_layout(frames), calib
+    )
+    np.testing.assert_array_equal(hi.detected, f32.detected)
+    np.testing.assert_allclose(hi.target_range, f32.target_range, rtol=1e-6)
+    np.testing.assert_allclose(hi.target_speed, f32.target_speed,
+                               rtol=1e-5, atol=1e-6)
+    err = np.linalg.norm(hi.waterfall - f32.waterfall) / max(
+        np.linalg.norm(f32.waterfall), 1e-30
+    )
+    assert -20 * np.log10(max(err, 1e-30)) > 80.0
+
+
 def test_profile_only_pallas_bf16_detections_match_f32(cfg, rng):
     """pallas_profile_bf16: detections/ranges identical, waterfall within
     bf16 input-quantization error; payload-side values (speed via f32
