@@ -30,7 +30,7 @@ chips); the point is that the dp chain has zero cross-frame communication
 so nothing in the program scales worse than the hardware does.
 
 Run: python bench_scaling.py            # prints one JSON line per row
-     python bench_scaling.py --record   # also writes SCALING_r03.json
+     python bench_scaling.py --record   # also writes SCALING_r04.json
 """
 
 from __future__ import annotations
@@ -125,6 +125,29 @@ def throughput(n_devices: int, frames_per_device: int, iters: int = 5,
         chain(raw, calib).waterfall.block_until_ready()
 
     return f / _time_fn(run, iters)
+
+
+def sp_throughput(n: int, samples_per_device: int = 262144,
+                  iters: int = 5) -> float:
+    """STFT columns/s of the halo-exchange ShardedStft (hop 1, nfft 256)
+    on an n-device mesh — weak scaling, fixed samples per device."""
+    from fmcw_radar_processing_tpu.dsp.stft import StftOperator
+    from fmcw_radar_processing_tpu.parallel.sharded_stft import ShardedStft
+
+    mesh = make_mesh(data=n, model=1, devices=jax.devices()[:n])
+    op = StftOperator.create(window_length=20, beta=3.0, nfft=256,
+                             fs=6400.0, hop=1)
+    st = ShardedStft(op=op, mesh=mesh)
+    l = n * samples_per_device
+    rng = np.random.default_rng(0)
+    sig = jnp.asarray(np.abs(rng.standard_normal(l)).astype(np.float32))
+    fn = jax.jit(lambda s: st(s, l)[1])
+    fn(sig).block_until_ready()
+
+    def run():
+        fn(sig).block_until_ready()
+
+    return l / _time_fn(run, iters)
 
 
 def _one_size_main() -> int:
@@ -234,6 +257,18 @@ def main() -> int:
             emit({"mode": f"{kind}_n2", "devices": 2,
                   "frames_per_s": round(fps, 1)})
 
+    # --- sp: halo-exchange ShardedStft, weak scaling N=1 → N=2
+    # (VERDICT r3 item 5 — previously correctness-only). Units are STFT
+    # columns/s (the sp axis is slow-time samples, not frames). ---
+    if len(sizes) >= 2:
+        base_sp = sp_throughput(1)
+        sp2 = sp_throughput(2)
+        emit({"mode": "sp_n1", "devices": 1,
+              "stft_cols_per_s": round(base_sp, 1)})
+        emit({"mode": "sp_n2", "devices": 2,
+              "stft_cols_per_s": round(sp2, 1),
+              "efficiency_vs_1": round(sp2 / (2 * base_sp), 3)})
+
     if record:
         artifact = {
             "host_cores": ncores,
@@ -251,9 +286,9 @@ def main() -> int:
             "baseline_target": "≥0.80 efficiency at N=2 (BASELINE.md)",
             "rows": rows,
         }
-        with open("SCALING_r03.json", "w") as f:
+        with open("SCALING_r04.json", "w") as f:
             json.dump(artifact, f, indent=2)
-        print("wrote SCALING_r03.json")
+        print("wrote SCALING_r04.json")
     return 0
 
 
