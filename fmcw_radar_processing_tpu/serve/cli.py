@@ -217,6 +217,37 @@ def cmd_classifier_e2e(args) -> int:
     return 0
 
 
+def cmd_robustness(args) -> int:
+    """Accuracy-vs-SNR robustness sweep (models/robustness.py)."""
+    from fmcw_radar_processing_tpu.models.dataset_gen import CLASS_SPECS
+    from fmcw_radar_processing_tpu.models.robustness import (
+        robustness_markdown,
+        run_robustness_sweep,
+    )
+
+    names = [t.strip() for t in args.classes.split(",") if t.strip()]
+    unknown = sorted(set(names) - set(CLASS_SPECS))
+    if unknown or len(names) < 2:
+        print(f"--classes: got {names!r}; need ≥2 names from "
+              f"{sorted(CLASS_SPECS)}", file=sys.stderr)
+        return 2
+    report = run_robustness_sweep(
+        args.out_dir,
+        model=args.model,
+        classes=tuple(CLASS_SPECS[n] for n in names),
+        train_images_per_class=args.train_images_per_class,
+        test_images_per_class=args.test_images_per_class,
+        frames_per_recording=args.frames,
+        epochs=args.epochs,
+        learning_rate=args.lr,
+        grad_clip_norm=args.grad_clip,
+        seed=args.seed,
+        log_fn=print,
+    )
+    print(robustness_markdown(report))
+    return 0
+
+
 def cmd_classify(args) -> int:
     from fmcw_radar_processing_tpu.models.infer import SpectrogramClassifier
 
@@ -364,6 +395,23 @@ def build_parser() -> argparse.ArgumentParser:
                     help="skip generation if out_dir/raw already has images")
     pe.add_argument("--report", help="markdown report path (default out_dir/report.md)")
     pe.set_defaults(fn=cmd_classifier_e2e)
+
+    pr = sub.add_parser(
+        "robustness",
+        help="accuracy-vs-input-SNR sweep: train on clean data, evaluate "
+             "on noise/amplitude/overlap-degraded chain outputs",
+    )
+    pr.add_argument("--out-dir", required=True)
+    pr.add_argument("--model", choices=["vgg16", "small"], default="small")
+    pr.add_argument("--epochs", type=int, default=10)
+    pr.add_argument("--train-images-per-class", type=int, default=64)
+    pr.add_argument("--test-images-per-class", type=int, default=24)
+    pr.add_argument("--frames", type=int, default=128)
+    pr.add_argument("--lr", type=float, default=1e-4)
+    pr.add_argument("--grad-clip", type=float, default=1.0)
+    pr.add_argument("--seed", type=int, default=42)
+    pr.add_argument("--classes", default="calf,human")
+    pr.set_defaults(fn=cmd_robustness)
 
     pcl = sub.add_parser("classify",
                          help="classify spectrogram images with an artifact")

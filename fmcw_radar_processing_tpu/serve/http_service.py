@@ -41,6 +41,17 @@ class _Handler(BaseHTTPRequestHandler):
     classifier = None  # SpectrogramClassifier | None
     lock: threading.Lock = None  # type: ignore[assignment]
     stats: dict = None  # type: ignore[assignment]
+    # Counter updates happen on ThreadingHTTPServer worker threads; dict
+    # `+=` is a non-atomic read-modify-write, so guard with a dedicated
+    # lock (NOT the accelerator lock — counters must not serialize behind
+    # a long-running chain request).
+    stats_lock: threading.Lock = None  # type: ignore[assignment]
+
+    def _count(self, error: bool = False) -> None:
+        with self.stats_lock:
+            self.stats["requests"] += 1
+            if error:
+                self.stats["errors"] += 1
 
     def _send(self, code: int, obj: dict) -> None:
         body = json.dumps(obj).encode()
@@ -90,9 +101,7 @@ class _Handler(BaseHTTPRequestHandler):
         with self.lock:  # one in-flight request per process (see module doc)
             result = self.service.main(request)
         dt = round(time.perf_counter() - t0, 4)
-        self.stats["requests"] += 1
-        if result.get("status") != "success":
-            self.stats["errors"] += 1
+        self._count(error=result.get("status") != "success")
         log_event("process_request", status=result.get("status"),
                   duration_s=dt, steps=len(result.get("steps", [])))
         # The reference's MPS endpoint returns its status JSON with HTTP 200
@@ -138,12 +147,13 @@ class _Handler(BaseHTTPRequestHandler):
             with self.lock:  # one in-flight accelerator request per process
                 predictions = self.classifier.classify_bytes(blobs)
         except Exception as e:  # undecodable image, shape mismatch, ...
-            self.stats["errors"] += 1
+            with self.stats_lock:
+                self.stats["errors"] += 1
             self._send(400, {"status": "error",
                              "message": f"classification failed: {e}"})
             return
         dt = round(time.perf_counter() - t0, 4)
-        self.stats["requests"] += 1
+        self._count()
         log_event("classify_request", images=len(blobs), duration_s=dt)
         self._send(200, {
             "status": "success",
@@ -174,6 +184,7 @@ class RadarHttpService:
             "classifier": classifier,
             "lock": threading.Lock(),
             "stats": {"requests": 0, "errors": 0},
+            "stats_lock": threading.Lock(),
         })
         self.service = svc
         self.classifier = classifier

@@ -93,6 +93,30 @@ def test_bad_requests(service):
     assert st == 404
 
 
+def test_concurrent_requests(service):
+    """≥4 concurrent POSTs: every request succeeds, the shared jit cache
+    serves all threads (one compile), counters are exact under the
+    ThreadingHTTPServer's thread-per-request model."""
+    import concurrent.futures
+
+    srv, _ = service
+    _post(srv.url + "process", {})  # warm the compile cache
+
+    def one(i):
+        return _post(srv.url + "process",
+                     {"processAnimalActivity": "no"})
+
+    n = 6
+    with concurrent.futures.ThreadPoolExecutor(max_workers=n) as ex:
+        results = list(ex.map(one, range(n)))
+    assert all(st == 200 and res["status"] == "success"
+               for st, res in results)
+    assert len(srv.service._pipelines) == 1  # shared compiled pipeline
+    _, health = _get(srv.url + "healthz")
+    assert health["requests"] == n + 1  # exact — no lost counter updates
+    assert health["errors"] == 0
+
+
 def test_processing_error_reported_in_steps(tmp_path):
     """Missing recording → error status with the failing step recorded."""
     hc = HandlerConfig(fdata="missing", workdir=str(tmp_path),
