@@ -738,9 +738,13 @@ def run_matrix(quick: bool = False) -> list[dict]:
     calib_c = jax.device_put(np.broadcast_to(calib, (c, cfg.nts, 2)).copy())
 
     def config5():
-        dt_win = _bench_streaming_steady(sp, raw_c, calib_c)
+        # Best of 3 outer trials: this sub-ms steady-state program showed
+        # ±40% trial-to-trial spread through the tunneled runtime (r4:
+        # a single-trial row recorded 4.1M where re-runs gave 5.8-8.0M).
+        dt_win = min(_bench_streaming_steady(sp, raw_c, calib_c)
+                     for _ in range(3))
         add("5_streaming_8ch", "fused", c * wf / dt_win, fpf,
-            {"channels": c, "window_frames": wf,
+            {"channels": c, "window_frames": wf, "trials": 3,
              "window_latency_us": round(dt_win * 1e6, 1)},
             bytes_per_frame=chain_bytes_per_frame(cfg, nfft,
                                                   with_rescale=False))
@@ -969,7 +973,10 @@ def main():
     )
 
     nfft = 256
-    alg = AlgorithmConfig(stft_nfft=nfft)  # production STFT size; hop 1
+    # The promoted production profile (see AlgorithmConfig.production for
+    # the recorded criterion): pallas_profile_high chain via impl 'auto'
+    # + fused export with kernel-emitted bf16 intensity.
+    alg = AlgorithmConfig.production()
     cfg = RadarConfig.create(default_device_config(), alg)
 
     # 65536 frames ≈ 2.7 h of radar time at 150 ms/frame — a production-size

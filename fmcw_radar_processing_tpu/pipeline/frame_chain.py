@@ -54,16 +54,20 @@ class FrameChainOutputs(NamedTuple):
 
 
 def resolve_impl(impl: str) -> str:
-    """'auto' → the measured-fastest exact impl for the current backend.
+    """'auto' → the measured-fastest acceptable impl for the backend.
 
-    On TPU that is 'pallas_profile' (r3 matrix, honest materialization:
-    2.29M vs fused's 2.09M frames/s at identical 78 dB SNR — the VMEM-
-    resident profile kernel avoids an HBM round-trip XLA cannot fuse
-    away); elsewhere 'fused' (the Pallas interpreter would crawl on CPU).
+    On TPU that is 'pallas_profile_high' (r4 matrix: 3.66M vs
+    pallas_profile's 3.35M frames/s; the profile kernel is MXU-pass-bound
+    so bf16x3's 3 passes halve its stage time at ~2^-18 relative —
+    waterfall 110 dB vs the f64 oracle, detections/ranges exact,
+    spectrogram unchanged). 'pallas_profile' remains the exact-f32
+    choice; 'pallas_profile_bf16' the measured-fastest (55 dB waterfall,
+    opt-in). Elsewhere 'fused' (the Pallas interpreter would crawl on
+    CPU).
     """
     if impl != "auto":
         return impl
-    return ("pallas_profile"
+    return ("pallas_profile_high"
             if jax.default_backend() in ("tpu", "axon") else "fused")
 
 

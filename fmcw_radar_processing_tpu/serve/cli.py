@@ -119,6 +119,7 @@ def cmd_serve_once(args) -> int:
         workdir=args.workdir,
         storage_spec=args.storage,
         upload=not args.no_upload,
+        profile=args.profile,
     )
     request = {"processAnimalActivity": "yes" if args.activity else "no"}
     result = main(request, cfg)
@@ -282,6 +283,7 @@ def cmd_serve(args) -> int:
         workdir=args.workdir,
         storage_spec=args.storage,
         upload=not args.no_upload,
+        profile=args.profile,
     )
     try:
         srv = RadarHttpService(cfg, port=args.port, host=args.host,
@@ -349,6 +351,11 @@ def build_parser() -> argparse.ArgumentParser:
     po.add_argument("--storage", default=None)
     po.add_argument("--activity", action="store_true")
     po.add_argument("--no-upload", action="store_true")
+    po.add_argument("--profile", choices=["fidelity", "production"],
+                    default="fidelity",
+                    help="fidelity = reference-literal STFT/f32 artifacts; "
+                         "production = promoted throughput profile "
+                         "(AlgorithmConfig.production)")
     po.set_defaults(fn=cmd_serve_once)
 
     pt = sub.add_parser("train", help="train the spectrogram classifier")
@@ -429,6 +436,11 @@ def build_parser() -> argparse.ArgumentParser:
     pv.add_argument("--host", default="127.0.0.1")
     pv.add_argument("--classifier-artifact",
                     help="also serve POST /classify from this artifact dir")
+    pv.add_argument("--profile", choices=["fidelity", "production"],
+                    default="fidelity",
+                    help="fidelity = reference-literal STFT/f32 artifacts; "
+                         "production = promoted throughput profile "
+                         "(AlgorithmConfig.production)")
     pv.set_defaults(fn=cmd_serve)
 
     pd = sub.add_parser("dashboard", help="serve the monitoring dashboard")

@@ -44,6 +44,12 @@ class HandlerConfig:
     pretty_json: bool = True  # reference 'PrettyPrint' fidelity; False = fast/compact
     retry_backoff_s: float = 0.5
     upload: bool = True
+    # Algorithm profile: "fidelity" (default — the reference's literal
+    # hop-1 / nfft=2^nextpow2 STFT and f32 artifacts, byte-parity with a
+    # MATLAB run) or "production" (AlgorithmConfig.production(): 256-pt
+    # STFT bucket + bf16 intensity + the promoted chain kernels — the r4
+    # matrix's 4.25M frames/s point; payload shapes differ from MATLAB).
+    profile: str = "fidelity"
 
 
 def _retry(fn: Callable[[], Any], retries: int, backoff: float):
@@ -116,7 +122,12 @@ class RadarService:
 
         Returns (written artifact paths, number actually uploaded)."""
         raw, calib, device = load_recording_for_chain(basepath)
-        cfg = RadarConfig.create(device)
+        if self.config.profile == "production":
+            from fmcw_radar_processing_tpu.config import AlgorithmConfig
+
+            cfg = RadarConfig.create(device, AlgorithmConfig.production())
+        else:
+            cfg = RadarConfig.create(device)
         pipe = self._pipeline_for(cfg)
         written: list[str] = []
         uploaded = 0

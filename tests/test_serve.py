@@ -64,6 +64,21 @@ def test_handler_full_mode(blob_root, tmp_path):
     assert img.size == (1200, 800)
 
 
+def test_handler_production_profile(blob_root, tmp_path):
+    """profile='production' (AlgorithmConfig.production): same contract
+    and artifacts, 256-bucket STFT instead of next-pow-2 fidelity."""
+    work = tmp_path / "work"
+    work.mkdir()
+    svc = RadarService(HandlerConfig(workdir=str(work),
+                                     storage_spec=f"local:{blob_root}",
+                                     profile="production"))
+    result = svc.main({"processAnimalActivity": "no"})
+    assert result["status"] == "success", result
+    spec = json.loads((work / "spectrogram_data.json").read_text())
+    assert len(spec["frequency"]) == 1024
+    assert all(np.isfinite(v) for row in spec["intensity"] for v in row)
+
+
 def test_handler_activity_mode(blob_root, tmp_path):
     work = tmp_path / "work"
     work.mkdir()
