@@ -823,7 +823,7 @@ def run_roofline(quick: bool = False) -> dict:
 
     nfft = 256
     cfg = RadarConfig.create(default_device_config(),
-                             AlgorithmConfig(stft_nfft=nfft))
+                             AlgorithmConfig.production())
     f_big = 4096 if quick else 65536
     rec = synthesize_recording(
         cfg, f_big,

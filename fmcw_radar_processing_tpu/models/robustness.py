@@ -110,6 +110,12 @@ def generate_condition_images(
     the chain still "detects" — the wrong bins — and the spectrogram shows
     noise. That failure mode is exactly what this sweep measures.
     """
+    stats_path = os.path.join(out_dir, "stats.json")
+    if os.path.exists(stats_path):
+        # Same seed ⇒ same images; reuse (lets a second model's sweep skip
+        # regeneration of every condition set).
+        with open(stats_path) as f:
+            return json.load(f)
     cfg = cfg or RadarConfig.create(default_device_config())
     pipe = RadarPipeline(cfg)
     rng = np.random.default_rng(seed)
@@ -150,7 +156,10 @@ def generate_condition_images(
                 out.spectrogram_times, out.spectrogram_linear_freqs,
                 out.spectrogram_psd_db, size=image_size,
             )
-    return {"dir": out_dir, "detection_rate": round(detected / total, 4)}
+    stats = {"dir": out_dir, "detection_rate": round(detected / total, 4)}
+    with open(stats_path, "w") as f:
+        json.dump(stats, f)
+    return stats
 
 
 def run_robustness_sweep(

@@ -242,6 +242,7 @@ def cmd_robustness(args) -> int:
         epochs=args.epochs,
         learning_rate=args.lr,
         grad_clip_norm=args.grad_clip,
+        snr_grid_db=tuple(float(s) for s in args.snr_grid.split(",")),
         seed=args.seed,
         log_fn=print,
     )
@@ -418,6 +419,11 @@ def build_parser() -> argparse.ArgumentParser:
     pr.add_argument("--grad-clip", type=float, default=1.0)
     pr.add_argument("--seed", type=int, default=42)
     pr.add_argument("--classes", default="calf,human")
+    pr.add_argument("--snr-grid", default="40,25,15,10,5,0,-5",
+                    help="comma-separated input-SNR grid in dB. The chain "
+                         "has ~18 dB of processing gain (64-pt coherent "
+                         "FFT), so the interesting break is well below "
+                         "0 dB per-sample SNR")
     pr.set_defaults(fn=cmd_robustness)
 
     pcl = sub.add_parser("classify",
