@@ -939,9 +939,12 @@ def run_roofline(quick: bool = False) -> dict:
         "methodology": (
             "xla_bytes = Compiled.cost_analysis()['bytes accessed'] of the "
             "single-iteration production program (compiler accounting of "
-            "per-op operand+output traffic); top_fusions from a "
-            "jax.profiler device trace of the 8x-repeated program over "
-            f"{dispatches} dispatches (XLA Ops lane), HLO snippet attached; "
+            "per-op operand+output traffic; for Pallas custom calls XLA "
+            "reports the kernel's DECLARED CostEstimate, which this repo "
+            "computes from the real block shapes and store dtypes); "
+            "top_fusions from a jax.profiler device trace of the "
+            f"8x-repeated program over {dispatches} dispatches (XLA Ops "
+            "lane, per-fusion device microseconds — fully measured); "
             "throughput via the matrix's steady-state on-device repetition"
         ),
     }

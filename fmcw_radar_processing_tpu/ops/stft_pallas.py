@@ -328,7 +328,13 @@ def spectrogram_pallas(
         ],
         cost_estimate=pl.CostEstimate(
             flops=2 * t_pad * num_bins * k_main,
-            bytes_accessed=4 * (2 * nb_pad * t_pad + num_bins * t_pad),
+            # Real store dtypes: p read + db write f32, intensity write in
+            # its own itemsize (2 for bf16). XLA's cost analysis reports a
+            # custom call's declared estimate, so this is what
+            # bench.py --roofline sums for the kernel's traffic.
+            bytes_accessed=(4 * 2 * nb_pad * t_pad
+                            + jnp.dtype(intensity_dtype).itemsize
+                            * num_bins * t_pad),
             transcendentals=nb_pad * t_pad,  # log
         ),
         interpret=interpret,
@@ -422,8 +428,10 @@ def _spectrogram_tiled(
         scratch_shapes=[pltpu.VMEM((num_bins, tile2), jnp.float32)],
         cost_estimate=pl.CostEstimate(
             flops=2 * t_pad * num_bins * nb_pad,
-            bytes_accessed=4 * (2 * nb_pad * t_pad + num_bins * t_pad
-                                + n_tiles2 * 2 * num_bins * nb_pad),
+            bytes_accessed=(4 * (2 * nb_pad * t_pad
+                                 + n_tiles2 * 2 * num_bins * nb_pad)
+                            + jnp.dtype(intensity_dtype).itemsize
+                            * num_bins * t_pad),
             transcendentals=nb_pad * t_pad,
         ),
         interpret=interpret,
