@@ -69,8 +69,12 @@ def search_peaks(profile: jax.Array, cfg: RadarConfig) -> DetectionResult:
     t = cfg.algorithm.max_num_targets
     if t == 1:
         # top_k lowers to a sort on TPU; argmax is a plain VPU reduction.
+        # The magnitude at the argmax IS the max — a second reduction, not
+        # a take_along_axis: the row gather cost a measured 669 µs per
+        # 65k frames (4.4% of chain device time, ROOFLINE_r04) where the
+        # max fuses into the same pass as the argmax.
         idx = jnp.argmax(masked, axis=-1)[..., None]
-        mag = jnp.take_along_axis(masked, idx, axis=-1)
+        mag = jnp.max(masked, axis=-1)[..., None]
     else:
         mag, idx = jax.lax.top_k(masked, t)
     valid = jnp.isfinite(mag)
