@@ -129,6 +129,8 @@ def chain_bytes_per_frame(cfg, stft_nfft: int, with_rescale: bool = True,
                          stft_nfft) == "pallas":
         # Fused export (ops/stft_pallas.py): frame matrix and complex
         # parts stay in VMEM; PSD w + r (across the two phases) + dB w.
+        # (The recompute formulation that also drops the PSD round-trip is
+        # a measured NEGATIVE result on the v5e — see spectrogram_pallas.)
         frames_mat = 0
         s_parts = 0
         psd = 3 * (nb * pn * 4)

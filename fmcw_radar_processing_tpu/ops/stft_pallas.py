@@ -91,6 +91,63 @@ def _psd_kernel(fr_ref, op_ref, nv_ref, p_ref, tmax_ref, *,
     tmax_ref[i] = jnp.max(p)
 
 
+def _tmax_kernel(fr_ref, op_ref, nv_ref, tmax_ref, *, tile: int,
+                 nb_pad: int):
+    """Phase 1 of the recompute formulation: per-tile PSD max ONLY.
+
+    The PSD itself is recomputed by phase 2 from the same frame tile
+    (recompute-over-materialize): the [nb_pad, T] PSD round-trip was
+    1.14 GB of the export stage's traffic per 65k-frame replay while the
+    DFT matmul that regenerates it is cheap MXU work on a chain measured
+    bandwidth-bound (ROOFLINE_r04). Only the 4-byte-per-tile max — the one
+    cross-column dependency of the dB normalization — leaves the kernel.
+    """
+    i = pl.program_id(0)
+    s2 = jnp.dot(op_ref[:], fr_ref[:], preferred_element_type=jnp.float32,
+                 precision=jax.lax.Precision.HIGHEST)
+    p = s2[:nb_pad] ** 2 + s2[nb_pad:] ** 2
+    col = i * tile + jax.lax.broadcasted_iota(jnp.int32, p.shape, 1)
+    p = jnp.where(col < nv_ref[0], p, 0.0)
+    tmax_ref[i] = jnp.max(p)
+
+
+def _db_rescale_recompute_kernel(fr_ref, gmax_ref, nv_ref, op_ref, whi_ref,
+                                 wlo_ref, wnyq_ref, db_ref, int_ref, *,
+                                 k_main: int, nb_pad: int, tile2: int):
+    """Phase 2 of the recompute formulation: frames → PSD (recomputed,
+    bit-identical to phase 1's — same dot, same operands) → dB →
+    bf16x3 interpolation. Reads the [W, tile2] frame tile instead of the
+    [nb_pad, tile2] PSD tile (20 vs 136 rows) and phase 1 never writes
+    the PSD at all."""
+    i = pl.program_id(0)
+    s2 = jnp.dot(op_ref[:], fr_ref[:], preferred_element_type=jnp.float32,
+                 precision=jax.lax.Precision.HIGHEST)
+    p = s2[:nb_pad] ** 2 + s2[nb_pad:] ** 2
+    col = i * tile2 + jax.lax.broadcasted_iota(jnp.int32, p.shape, 1)
+    p = jnp.where(col < nv_ref[0], p, 0.0)
+    g = gmax_ref[0]
+    safe = jnp.where(g > 0, g, 1.0)
+    db = jnp.where(
+        p > 0,
+        jnp.maximum(
+            jnp.float32(LN10_INV_20)
+            * jnp.log(jnp.maximum(p, 1e-45) / safe),
+            jnp.float32(DB_FLOOR),
+        ),
+        jnp.float32(DB_FLOOR),
+    )
+    db_ref[:] = db
+    dbm = db[:k_main]
+    db_hi = dbm.astype(jnp.bfloat16).astype(jnp.float32)
+    db_lo = dbm - db_hi
+    d = functools.partial(jnp.dot, preferred_element_type=jnp.float32,
+                          precision=jax.lax.Precision.DEFAULT)
+    acc = (d(whi_ref[:], db_hi) + d(whi_ref[:], db_lo)
+           + d(wlo_ref[:], db_hi)
+           + wnyq_ref[:] * db[k_main : k_main + 1, :])
+    int_ref[:] = acc.astype(int_ref.dtype)
+
+
 def _psd_kernel_tiled(fr_ref, are_ref, aim_ref, nv_ref, p_ref, tmax_ref, *,
                       tile: int, n_kb: int):
     """Bin-blocked phase 1 (large nfft): grid (time tile i, bin block k).
@@ -195,7 +252,7 @@ def spectrogram_pallas(
     sig: jax.Array, valid_len: jax.Array, op: StftOperator,
     num_bins: int = 1024, tile: int = 2048, tile2: int = 512,
     intensity_dtype=jnp.float32, interpret: bool | None = None,
-    tiled: bool | None = None,
+    tiled: bool | None = None, recompute: bool = False,
 ):
     """Full spectrogram export from a packed |slow-time| signal.
 
@@ -216,8 +273,17 @@ def spectrogram_pallas(
     residency overflows the 16 MB scoped limit past nfft 512 (measured
     compile OOM at nfft 2048), while the tiled pair streams [kb, ·] blocks
     and runs any nfft, including the reference's literal
-    2^nextpow2(L) fidelity mode (radar_processing.m:273). The production
-    nfft ≤ 512 path keeps the measured-fastest untiled kernels unchanged.
+    2^nextpow2(L) fidelity mode (radar_processing.m:273).
+
+    recompute: True selects the RECOMPUTE formulation (untiled path
+    only) — phase 1 emits only per-tile maxes and phase 2 regenerates the
+    PSD from the frame tile (bit-identical dot), so the [nb_pad, T] PSD
+    never exists in HBM and the psd return slot is None. MEASURED NEGATIVE
+    RESULT on the v5e, hence not the default: the saved 1.14 GB round-trip
+    (~1.4 ms) is outweighed by re-doing the K=20 DFT dot, whose MXU
+    K-padding makes it ~1.7 ms at HIGHEST — headline 4.12M vs 4.50M
+    frames/s. Kept (with its bit-parity test) for chips where the
+    MXU-rate/HBM balance differs.
     """
     if interpret is None:
         interpret = jax.default_backend() not in ("tpu", "axon")
@@ -255,6 +321,11 @@ def spectrogram_pallas(
             n_tiles, t_pad, t, intensity_dtype, interpret,
         )
     a2 = jnp.asarray(_folded_operator(op, align=8))  # [2·nb_pad, W]
+    if recompute:
+        return _spectrogram_recompute(
+            frames, nv, a2, op, nb, nb_pad, num_bins, tile, tile2,
+            n_tiles, t_pad, t, intensity_dtype, interpret,
+        )
 
     p_pad, tmax = pl.pallas_call(
         functools.partial(_psd_kernel, tile=tile, nb_pad=nb_pad),
@@ -342,6 +413,85 @@ def spectrogram_pallas(
       jnp.asarray(w_nyq))
 
     return (p_pad[:nb, :t], db_pad[:nb, :t], intensity[:, :t])
+
+
+def _spectrogram_recompute(
+    frames, nv, a2, op: StftOperator, nb: int, nb_pad: int, num_bins: int,
+    tile: int, tile2: int, n_tiles: int, t_pad: int, t: int,
+    intensity_dtype, interpret: bool,
+):
+    """Recompute formulation (see spectrogram_pallas recompute=True)."""
+    wl = op.window_length
+    tmax = pl.pallas_call(
+        functools.partial(_tmax_kernel, tile=tile, nb_pad=nb_pad),
+        grid=(n_tiles,),
+        in_specs=[
+            pl.BlockSpec((wl, tile), lambda i: (0, i),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((2 * nb_pad, wl), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+        ],
+        out_specs=pl.BlockSpec((n_tiles,), lambda i: (0,),
+                               memory_space=pltpu.SMEM),
+        out_shape=jax.ShapeDtypeStruct((n_tiles,), jnp.float32),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * t_pad * 2 * nb_pad * wl,
+            bytes_accessed=4 * (wl * t_pad + n_tiles),
+            transcendentals=0,
+        ),
+        interpret=interpret,
+    )(frames, a2, nv)
+
+    gmax = jnp.max(tmax)
+
+    k_main = nb - 1
+    w_full = _log_interp_matrix(nb, num_bins)
+    w = np.ascontiguousarray(w_full[:, :k_main]).astype(np.float32)
+    w_nyq = np.ascontiguousarray(w_full[:, nb - 1 : nb]).astype(np.float32)
+    w_hi = w.astype(jnp.bfloat16).astype(np.float32)
+    w_lo = (w - w_hi).astype(np.float32)
+    n_tiles2 = t_pad // tile2
+    db_pad, intensity = pl.pallas_call(
+        functools.partial(_db_rescale_recompute_kernel, k_main=k_main,
+                          nb_pad=nb_pad, tile2=tile2),
+        grid=(n_tiles2,),
+        in_specs=[
+            pl.BlockSpec((wl, tile2), lambda i: (0, i),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec((2 * nb_pad, wl), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((num_bins, k_main), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((num_bins, k_main), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((num_bins, 1), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((nb_pad, tile2), lambda i: (0, i),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((num_bins, tile2), lambda i: (0, i),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((nb_pad, t_pad), jnp.float32),
+            jax.ShapeDtypeStruct((num_bins, t_pad), intensity_dtype),
+        ],
+        cost_estimate=pl.CostEstimate(
+            flops=2 * t_pad * (2 * nb_pad * wl + num_bins * k_main),
+            bytes_accessed=(4 * (wl * t_pad + nb_pad * t_pad)
+                            + jnp.dtype(intensity_dtype).itemsize
+                            * num_bins * t_pad),
+            transcendentals=nb_pad * t_pad,
+        ),
+        interpret=interpret,
+    )(frames, gmax.reshape(1), nv, a2, jnp.asarray(w_hi),
+      jnp.asarray(w_lo), jnp.asarray(w_nyq))
+
+    return (None, db_pad[:nb, :t], intensity[:, :t])
 
 
 def _spectrogram_tiled(

@@ -40,6 +40,15 @@ def test_matches_xla_composition(l, count):
                                           tile=512)
     p_ref, db_ref, int_ref = _ref(op, sig, count)
 
+    # The recompute formulation (opt-in; measured SLOWER on the v5e — see
+    # spectrogram_pallas docstring): psd slot is None, db/intensity must
+    # be BIT-identical (same dot, same operands).
+    p2, db2, int2 = spectrogram_pallas(sig, jnp.asarray(count), op,
+                                       tile=512, recompute=True)
+    assert p2 is None
+    np.testing.assert_array_equal(np.asarray(db2), np.asarray(db))
+    np.testing.assert_array_equal(np.asarray(int2), np.asarray(intensity))
+
     assert p.shape == p_ref.shape
     # √(scale·dbl) folding computes (c·s)² instead of c²·(s²) — identical
     # math, different rounding: tiny absolute wiggle at spectral nulls.
