@@ -139,14 +139,16 @@ class AlgorithmConfig:
         reference's clim [−40, 0] (radar_processing.m:340). Winner
         (BENCH_MATRIX.json, v5e): chain impl ``pallas_profile_high``
         (bf16x3 — waterfall 110.1 dB, ranges exact) + fused Pallas export
-        with kernel-emitted bf16 intensity (display-band err 0.125 dB) at
-        4.25M frames/s, vs 3.35M for the all-f32 chain. The next-faster
-        point (pallas_profile_bf16 + bf16 intensity, 4.80M) drops the
-        exported waterfall to 55 dB and therefore stays opt-in rather
-        than default. stft_nfft pins the 256-bucket (production STFT);
-        the bare ``AlgorithmConfig()`` remains the reference-fidelity
-        profile (hop-1, nfft = 2^nextpow2(L), f32 artifacts) used by the
-        MPS-parity serve path and the oracle tests.
+        with the bf16x3 phase-1 PSD kernel (its ~2^-18 absolute PSD noise
+        is µdB in the display band; only deep spectral nulls move) and
+        kernel-emitted bf16 intensity — measured 4.87M frames/s with
+        display-band err 0.125 dB, vs 3.48M for the all-f32 chain+export.
+        The next-faster point (pallas_profile_bf16 + bf16 intensity)
+        drops the exported waterfall to 55 dB and therefore stays opt-in
+        rather than default. stft_nfft pins the 256-bucket (production
+        STFT); the bare ``AlgorithmConfig()`` remains the
+        reference-fidelity profile (hop-1, nfft = 2^nextpow2(L), f32
+        artifacts) used by the MPS-parity serve path and the oracle tests.
         """
         base: dict = dict(stft_nfft=256, intensity_dtype="bfloat16")
         base.update(overrides)

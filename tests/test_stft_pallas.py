@@ -36,13 +36,26 @@ def test_matches_xla_composition(l, count):
     sig = jnp.asarray(sig_np)
     op = StftOperator.create(window_length=20, beta=3.0, nfft=256,
                              fs=1000.0, hop=1)
+    # Oracle-grade comparisons run the HIGHEST phase-1 variant; the
+    # production default ("high", bf16x3 phase 1) is held to the
+    # display-band criterion further down.
     p, db, intensity = spectrogram_pallas(sig, jnp.asarray(count), op,
-                                          tile=512)
+                                          tile=512,
+                                          psd_precision="highest")
     p_ref, db_ref, int_ref = _ref(op, sig, count)
 
+    dbd_, intd_ = spectrogram_pallas(sig, jnp.asarray(count), op,
+                                     tile=512)[1:]
+    # bf16x3 phase 1: absolute ~2^-18·Σ|op||fr| PSD noise — µdB where
+    # displayable, unbounded only in deep nulls (it rides the dB log).
+    md = db_ref > -40
+    np.testing.assert_allclose(np.asarray(dbd_)[md], db_ref[md], atol=2e-3)
+    np.testing.assert_allclose(np.asarray(intd_)[int_ref > -40],
+                               int_ref[int_ref > -40], atol=4e-3)
     # The recompute formulation (opt-in; measured SLOWER on the v5e — see
     # spectrogram_pallas docstring): psd slot is None, db/intensity must
-    # be BIT-identical (same dot, same operands).
+    # be BIT-identical to the HIGHEST materializing path (same dot, same
+    # operands).
     p2, db2, int2 = spectrogram_pallas(sig, jnp.asarray(count), op,
                                        tile=512, recompute=True)
     assert p2 is None
@@ -117,7 +130,7 @@ def test_tiled_forced_small_nfft_matches_untiled():
     op = StftOperator.create(window_length=20, beta=3.0, nfft=256,
                              fs=1000.0, hop=1)
     a = spectrogram_pallas(sig, jnp.asarray(900), op, tile=512, tile2=256,
-                           tiled=False)
+                           tiled=False, psd_precision="highest")
     b = spectrogram_pallas(sig, jnp.asarray(900), op, tile=512, tile2=256,
                            tiled=True)
     np.testing.assert_allclose(np.asarray(a[0]), np.asarray(b[0]),
