@@ -379,21 +379,27 @@ def _bench_streaming_steady(sp, raw_c, calib_c, inner: int = 8,
 
         return run
 
+    # Difference between TWO large inner counts (inner vs 2·inner), both
+    # min-of-iters: the r4 single-window subtraction (T(inner) − T(1))
+    # glitched when T(1) caught a slow tunnel moment — one matrix row
+    # recorded a physically impossible 47.8M frames/s (≈ 2 TB/s implied
+    # HBM traffic). With both endpoints ≫ dispatch time the constant
+    # cancels and neither endpoint's jitter dominates the difference.
     args = (raw_c, calib_c, sp._carry, sp._carry_len, sp._max_power)
-    r1, rn = make(1), make(inner)
-    float(r1(*args))
-    float(rn(*args))
-    b1 = bn = float("inf")
+    ra, rb = make(inner), make(2 * inner)
+    float(ra(*args))
+    float(rb(*args))
+    ba = bb = float("inf")
     for _ in range(iters):
         t0 = time.perf_counter()
-        float(r1(*args))
-        b1 = min(b1, time.perf_counter() - t0)
+        float(ra(*args))
+        ba = min(ba, time.perf_counter() - t0)
         t0 = time.perf_counter()
-        float(rn(*args))
-        bn = min(bn, time.perf_counter() - t0)
-    dt = (bn - b1) / (inner - 1)
+        float(rb(*args))
+        bb = min(bb, time.perf_counter() - t0)
+    dt = (bb - ba) / inner
     if dt <= 0:
-        dt = bn / inner
+        dt = bb / (2 * inner)
     return dt
 
 
@@ -740,11 +746,16 @@ def run_matrix(quick: bool = False) -> list[dict]:
     calib_c = jax.device_put(np.broadcast_to(calib, (c, cfg.nts, 2)).copy())
 
     def config5():
-        # Best of 3 outer trials: this sub-ms steady-state program showed
-        # ±40% trial-to-trial spread through the tunneled runtime (r4:
-        # a single-trial row recorded 4.1M where re-runs gave 5.8-8.0M).
-        dt_win = min(_bench_streaming_steady(sp, raw_c, calib_c)
-                     for _ in range(3))
+        # MEDIAN of 3 outer trials: this sub-ms steady-state program shows
+        # ±40% trial spread through the tunneled runtime; min-of-trials
+        # compounds the difference estimator's selection bias (a best-of-3
+        # r4 row recorded an impossible 47.8M — see
+        # _bench_streaming_steady's estimator note).
+        import statistics
+
+        dt_win = statistics.median(
+            _bench_streaming_steady(sp, raw_c, calib_c) for _ in range(3)
+        )
         add("5_streaming_8ch", "fused", c * wf / dt_win, fpf,
             {"channels": c, "window_frames": wf, "trials": 3,
              "window_latency_us": round(dt_win * 1e6, 1)},
