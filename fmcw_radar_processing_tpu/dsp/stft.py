@@ -170,6 +170,37 @@ it) and keeps payloads JSON-clean.
 """
 
 
+INT8_DB_RANGE = (-41.0, 1.0)
+"""Affine-quantization range for the int8 intensity emission (dB).
+
+Chosen around the reference PNG's clim [−40, 0] (radar_processing.m:340)
+with 1 dB of margin on each side: step = 42/255 ≈ 0.1647 dB, so
+round-to-nearest error is ≤ 0.0824 dB for any in-range value — within the
+≤ 0.15 dB display-band promotion criterion. Values outside the range
+clamp; by construction only sub-display (< −41 dB) or above-max (> +1 dB,
+impossible after global-max normalization) bins are affected."""
+
+
+def int8_db_step() -> float:
+    lo, hi = INT8_DB_RANGE
+    return (hi - lo) / 255.0
+
+
+def quantize_db_int8(db: jax.Array) -> jax.Array:
+    """dB [..., any] float32 → int8 code: round((db − lo)/step) − 128."""
+    lo, _ = INT8_DB_RANGE
+    q = jnp.clip(jnp.round((db - jnp.float32(lo))
+                           * jnp.float32(1.0 / int8_db_step())), 0.0, 255.0)
+    return (q - 128.0).astype(jnp.int8)
+
+
+def decode_db_int8(arr) -> np.ndarray:
+    """Host-side inverse of :func:`quantize_db_int8` (int8 codes → dB f32)."""
+    lo, _ = INT8_DB_RANGE
+    return ((np.asarray(arr, np.float32) + 128.0)
+            * np.float32(int8_db_step()) + np.float32(lo))
+
+
 def psd_db(result: SpectrogramResult) -> jax.Array:
     """Reference dB normalization: 20·log10(P / global_max) over valid columns
     (radar_processing.m:282-283; the G>0 guard of :547-552 maps zeros to the

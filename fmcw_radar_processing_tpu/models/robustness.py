@@ -28,8 +28,10 @@ the mean amplitude taken over the class specs' sampling ranges.
 from __future__ import annotations
 
 import dataclasses
+import hashlib
 import json
 import os
+import shutil
 from typing import Sequence
 
 import numpy as np
@@ -110,13 +112,31 @@ def generate_condition_images(
     the chain still "detects" — the wrong bins — and the spectrogram shows
     noise. That failure mode is exactly what this sweep measures.
     """
+    cfg = cfg or RadarConfig.create(default_device_config())
+    # Cache keyed on the full generation parameter set (ADVICE r4: file
+    # existence alone silently served stale images when a sweep reran into
+    # the same out_dir with different parameters).
+    gen_key = hashlib.sha256(json.dumps({
+        "condition": dataclasses.asdict(cond),
+        "classes": [dataclasses.asdict(c) for c in classes],
+        "images_per_class": images_per_class,
+        "frames_per_recording": frames_per_recording,
+        "seed": seed,
+        "image_size": list(image_size),
+        "cfg": repr(cfg),
+    }, sort_keys=True, default=str).encode()).hexdigest()
     stats_path = os.path.join(out_dir, "stats.json")
     if os.path.exists(stats_path):
-        # Same seed ⇒ same images; reuse (lets a second model's sweep skip
-        # regeneration of every condition set).
         with open(stats_path) as f:
-            return json.load(f)
-    cfg = cfg or RadarConfig.create(default_device_config())
+            cached = json.load(f)
+        if cached.get("gen_key") == gen_key:
+            # Same parameters ⇒ same images; reuse (lets a second model's
+            # sweep skip regeneration of every condition set).
+            return cached
+        # Parameter mismatch: drop the stale set entirely (leftover images
+        # from a larger previous run would otherwise leak into the eval).
+        shutil.rmtree(out_dir)
+    os.makedirs(out_dir, exist_ok=True)
     pipe = RadarPipeline(cfg)
     rng = np.random.default_rng(seed)
     tol = 2.0 * cfg.derived.dist_per_bin
@@ -156,7 +176,8 @@ def generate_condition_images(
                 out.spectrogram_times, out.spectrogram_linear_freqs,
                 out.spectrogram_psd_db, size=image_size,
             )
-    stats = {"dir": out_dir, "detection_rate": round(detected / total, 4)}
+    stats = {"dir": out_dir, "detection_rate": round(detected / total, 4),
+             "gen_key": gen_key}
     with open(stats_path, "w") as f:
         json.dump(stats, f)
     return stats

@@ -42,11 +42,42 @@ from jax.experimental.pallas import tpu as pltpu
 
 from fmcw_radar_processing_tpu.dsp.stft import (
     DB_FLOOR,
+    INT8_DB_RANGE,
     StftOperator,
     _log_interp_matrix,
 )
 
 LN10_INV_20 = float(20.0 / np.log(10.0))
+
+
+def resolves_tiled(op: StftOperator, tiled: bool | None = None) -> bool:
+    """Whether ``spectrogram_pallas`` will take the bin-blocked (tiled)
+    kernel pair for this operator — the HIGHEST-only path, so callers that
+    plumb a lossy ``psd_precision``/``recompute`` knob (pipeline, bench)
+    consult this to downgrade instead of tripping the explicit-conflict
+    ValueError."""
+    if tiled is not None:
+        return tiled
+    return -(-op.num_bins // 8) * 8 > 512
+
+
+def _emit_intensity(int_ref, acc):
+    """Write the interpolated intensity tile in the output dtype.
+
+    int8: affine dB quantization over INT8_DB_RANGE in the kernel epilogue
+    (step ≈ 0.165 dB ⇒ ≤ 0.083 dB round-to-nearest error in-range — inside
+    the ≤ 0.15 dB display-band criterion; out-of-range clamps touch only
+    sub-display bins). Quartering the chain's largest store matters because
+    the phase-2 kernel is output-bandwidth-bound (ROOFLINE_r04: 5.55 ms of
+    13.39 ms/iter). Other dtypes: plain cast (bf16 emission measured +25%
+    over casting the f32 artifact afterwards)."""
+    if int_ref.dtype == jnp.int8:
+        lo, hi = INT8_DB_RANGE
+        q = jnp.clip(jnp.round((acc - jnp.float32(lo))
+                               * jnp.float32(255.0 / (hi - lo))), 0.0, 255.0)
+        int_ref[:] = (q - 128.0).astype(jnp.int8)
+    else:
+        int_ref[:] = acc.astype(int_ref.dtype)
 
 
 def _folded_operator(op: StftOperator, align: int = 8) -> np.ndarray:
@@ -168,7 +199,7 @@ def _db_rescale_recompute_kernel(fr_ref, gmax_ref, nv_ref, op_ref, whi_ref,
     acc = (d(whi_ref[:], db_hi) + d(whi_ref[:], db_lo)
            + d(wlo_ref[:], db_hi)
            + wnyq_ref[:] * db[k_main : k_main + 1, :])
-    int_ref[:] = acc.astype(int_ref.dtype)
+    _emit_intensity(int_ref, acc)
 
 
 def _psd_kernel_tiled(fr_ref, are_ref, aim_ref, nv_ref, p_ref, tmax_ref, *,
@@ -235,7 +266,7 @@ def _db_rescale_kernel_tiled(p_ref, gmax_ref, whi_ref, wlo_ref,
 
     @pl.when(k == n_kb - 1)
     def _emit():
-        int_ref[:] = acc_ref[:].astype(int_ref.dtype)
+        _emit_intensity(int_ref, acc_ref[:])
 
 
 def _db_rescale_kernel(p_ref, gmax_ref, whi_ref, wlo_ref, wnyq_ref,
@@ -268,7 +299,7 @@ def _db_rescale_kernel(p_ref, gmax_ref, whi_ref, wlo_ref, wnyq_ref,
     acc = (d(whi_ref[:], db_hi) + d(whi_ref[:], db_lo)
            + d(wlo_ref[:], db_hi)
            + wnyq_ref[:] * db[k_main : k_main + 1, :])
-    int_ref[:] = acc.astype(int_ref.dtype)
+    _emit_intensity(int_ref, acc)
 
 
 def spectrogram_pallas(
@@ -276,7 +307,7 @@ def spectrogram_pallas(
     num_bins: int = 1024, tile: int = 2048, tile2: int = 512,
     intensity_dtype=jnp.float32, interpret: bool | None = None,
     tiled: bool | None = None, recompute: bool = False,
-    psd_precision: str = "high",
+    psd_precision: str | None = None,
 ):
     """Full spectrogram export from a packed |slow-time| signal.
 
@@ -309,12 +340,18 @@ def spectrogram_pallas(
     frames/s. Kept (with its bit-parity test) for chips where the
     MXU-rate/HBM balance differs.
 
-    psd_precision: phase-1 DFT dot passes — "high" (default, bf16x3 =
-    3 MXU passes, ~2^-18 relative on the PSD; the dB shift is ≤ µdB in
-    the display band since p and gmax move together) or "highest" (true
-    f32, 6 passes — the r3/early-r4 behavior; use for oracle-grade PSD
-    cross-checks). Untiled materializing path only; tiled/recompute keep
-    HIGHEST.
+    psd_precision: phase-1 DFT dot passes — "highest" (the default; true
+    f32, 6 passes — oracle-grade PSD) or "high" (bf16x3 = 3 MXU passes,
+    ~2^-18 relative on the PSD; the dB shift is ≤ µdB in the display band
+    since p and gmax move together — the AlgorithmConfig.production()
+    setting, measured +8%). Untiled materializing path only: the tiled
+    and recompute formulations run phase 1 at HIGHEST, and explicitly
+    requesting "high" on them raises ValueError rather than silently
+    ignoring the argument (callers that plumb a config knob should
+    consult :func:`resolves_tiled` and downgrade). The config-level knob
+    is ``AlgorithmConfig.stft_psd_precision`` — the bare fidelity config
+    stays "highest" so reference-literal serve paths never inherit the
+    lossy kernel.
     """
     if interpret is None:
         interpret = jax.default_backend() not in ("tpu", "axon")
@@ -344,15 +381,35 @@ def spectrogram_pallas(
     sig_pad = jnp.zeros(t_pad + wl - 1, sig.dtype).at[:l].set(sig)
     frames = op.frame_signal(sig_pad)  # [W, t_pad]
     nv = (jnp.asarray(valid_len, jnp.int32) - wl + 1).reshape(1)
+    if psd_precision not in (None, "high", "highest"):
+        raise ValueError(f"psd_precision must be 'high' or 'highest', "
+                         f"got {psd_precision!r}")
     if tiled is None:
         tiled = nb_pad > 512
     if tiled:
+        # The bin-blocked path is HIGHEST-only and always materializes the
+        # PSD; silently ignoring an explicit conflicting request would hand
+        # callers behavior contradicting their arguments (ADVICE r4).
+        if recompute:
+            raise ValueError(
+                "recompute=True is the untiled formulation; the tiled "
+                "(large-nfft) path always materializes the PSD — drop "
+                "recompute or pass tiled=False with a smaller nfft")
+        if psd_precision == "high":
+            raise ValueError(
+                "psd_precision='high' applies to the untiled materializing "
+                "path only; the tiled path runs phase 1 at HIGHEST (use "
+                "resolves_tiled() to downgrade a plumbed knob)")
         return _spectrogram_tiled(
             frames, nv, op, nb, -(-nb // 128) * 128, num_bins, tile, tile2,
             n_tiles, t_pad, t, intensity_dtype, interpret,
         )
     a2 = jnp.asarray(_folded_operator(op, align=8))  # [2·nb_pad, W]
     if recompute:
+        if psd_precision == "high":
+            raise ValueError(
+                "psd_precision='high' is not available with recompute=True "
+                "(both phases re-run the DFT dot at HIGHEST for bit-parity)")
         return _spectrogram_recompute(
             frames, nv, a2, op, nb, nb_pad, num_bins, tile, tile2,
             n_tiles, t_pad, t, intensity_dtype, interpret,

@@ -135,19 +135,29 @@ class RadarPipeline:
 
         if stft_impl == "pallas":
             from fmcw_radar_processing_tpu.ops.stft_pallas import (
+                resolves_tiled,
                 spectrogram_pallas,
             )
 
-            int_dtype = (jnp.bfloat16 if a.intensity_dtype == "bfloat16"
-                         else jnp.float32)
+            int_dtype = {"bfloat16": jnp.bfloat16, "int8": jnp.int8}.get(
+                a.intensity_dtype, jnp.float32)
+            # Plumbed config knob (ADVICE r4): the bare fidelity config
+            # keeps "highest" so reference-literal artifacts never
+            # silently inherit the bf16x3 phase-1 kernel; production()
+            # opts into "high". The tiled (large-nfft) path is
+            # HIGHEST-only — downgrade rather than trip its explicit-
+            # conflict ValueError.
+            psd_prec = a.stft_psd_precision
+            if resolves_tiled(op):
+                psd_prec = "highest"
 
             @jax.jit
             def stage(signal_abs: jax.Array, valid_len: jax.Array):
-                # bf16 intensity emitted by the kernel epilogue — casting
-                # afterwards would round-trip the largest artifact.
+                # bf16/int8 intensity emitted by the kernel epilogue —
+                # casting afterwards would round-trip the largest artifact.
                 _, db, intensity = spectrogram_pallas(
                     signal_abs, valid_len, op, a.max_freq_bins,
-                    intensity_dtype=int_dtype,
+                    intensity_dtype=int_dtype, psd_precision=psd_prec,
                 )
                 freqs = jnp.arange(
                     op.num_bins, dtype=jnp.float32
@@ -172,6 +182,12 @@ class RadarPipeline:
                 # Cast in the matmul epilogue: halves the write traffic of
                 # the chain's largest tensor (see AlgorithmConfig).
                 intensity = intensity.astype(jnp.bfloat16)
+            elif a.intensity_dtype == "int8":
+                from fmcw_radar_processing_tpu.dsp.stft import (
+                    quantize_db_int8,
+                )
+
+                intensity = quantize_db_int8(intensity)
             return res.times, log_bins, intensity, res.freqs, db
 
         return stage, op
@@ -210,10 +226,16 @@ class RadarPipeline:
         sig_abs = pair_abs(signal)  # reference: STFT of |slow_time| (:270)
         times, log_bins, intensity, freqs, db = stage(sig_abs, jnp.asarray(count))
         n_valid = stft_frame_count(count, wl, op.hop)
+        if a.intensity_dtype == "int8":
+            from fmcw_radar_processing_tpu.dsp.stft import decode_db_int8
+
+            intensity_np = decode_db_int8(intensity)
+        else:
+            intensity_np = np.asarray(intensity).astype(np.float32)
         return (
             np.asarray(times)[:n_valid],
             np.asarray(log_bins),
-            np.asarray(intensity).astype(np.float32)[:, :n_valid],
+            intensity_np[:, :n_valid],
             np.asarray(freqs),
             np.asarray(db)[:, :n_valid],
         )

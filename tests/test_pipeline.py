@@ -3,6 +3,7 @@
 import json
 
 import numpy as np
+import pytest
 
 from fmcw_radar_processing_tpu.pipeline.recording import RadarPipeline
 from fmcw_radar_processing_tpu.utils.jsonio import dumps_matlab
@@ -272,16 +273,17 @@ def test_stft_impl_pallas_matches_xla(cfg, rng):
         _tpu_layout(frames), calib)
 
     assert got_p.spectrogram_intensity.shape == got_x.spectrogram_intensity.shape
-    # Display band (the reference clim): tight. Deeper bins admit the
-    # bf16x3 phase-1 kernel's absolute PSD noise, which the dB log
-    # amplifies at spectral nulls (production criterion is display-band).
+    # The bare (fidelity) config plumbs stft_psd_precision="highest" into
+    # the kernel (ADVICE r4 — it used to silently inherit the bf16x3
+    # phase 1), so the match is tight well below the display band; only
+    # the √(scale·dbl) folding's rounding wiggle at nulls remains.
     m = got_x.spectrogram_intensity > -40
     np.testing.assert_allclose(got_p.spectrogram_intensity[m],
                                got_x.spectrogram_intensity[m], atol=5e-3)
     deep = (got_x.spectrogram_intensity <= -40) & (
         got_x.spectrogram_intensity > -120)
     np.testing.assert_allclose(got_p.spectrogram_intensity[deep],
-                               got_x.spectrogram_intensity[deep], atol=0.5)
+                               got_x.spectrogram_intensity[deep], atol=2e-2)
     mp = got_x.spectrogram_psd_db > -40
     np.testing.assert_allclose(got_p.spectrogram_psd_db[mp],
                                got_x.spectrogram_psd_db[mp], atol=2e-3)
@@ -289,3 +291,48 @@ def test_stft_impl_pallas_matches_xla(cfg, rng):
                                rtol=1e-6)
     np.testing.assert_allclose(got_p.spectrogram_freqs, got_x.spectrogram_freqs,
                                rtol=1e-6)
+
+
+def test_psd_precision_plumbing():
+    """Config-level psd-precision defaults (ADVICE r4): bare fidelity
+    config = 'highest'; production() opts into the bf16x3 'high'."""
+    from fmcw_radar_processing_tpu.config import AlgorithmConfig
+
+    assert AlgorithmConfig().stft_psd_precision == "highest"
+    assert AlgorithmConfig.production().stft_psd_precision == "high"
+    # Overrides still thread through.
+    assert AlgorithmConfig.production(
+        stft_psd_precision="highest").stft_psd_precision == "highest"
+
+
+@pytest.mark.parametrize("stft_impl", ["xla", "pallas"])
+def test_int8_intensity_option(cfg, rng, stft_impl):
+    """intensity_dtype='int8' (r5): the payload comes back float32 with
+    each displayed bin within half a quantization step (≈0.083 dB ≤ the
+    0.15 dB display-band criterion) of the f32 run; sub-range bins clamp
+    to INT8_DB_RANGE's floor."""
+    import dataclasses
+
+    from fmcw_radar_processing_tpu.config import RadarConfig
+    from fmcw_radar_processing_tpu.dsp.stft import INT8_DB_RANGE, int8_db_step
+
+    frames, calib = _mixed_recording(cfg, rng)
+    a32 = dataclasses.replace(cfg.algorithm, stft_impl=stft_impl)
+    a8 = dataclasses.replace(cfg.algorithm, stft_impl=stft_impl,
+                             intensity_dtype="int8")
+    got32 = RadarPipeline(RadarConfig.create(cfg.device, a32)).process_recording(
+        _tpu_layout(frames), calib)
+    got8 = RadarPipeline(RadarConfig.create(cfg.device, a8)).process_recording(
+        _tpu_layout(frames), calib)
+
+    assert got8.spectrogram_intensity.dtype == np.float32
+    lo, _ = INT8_DB_RANGE
+    inside = got32.spectrogram_intensity > lo + 0.1
+    assert inside.sum() > 50
+    np.testing.assert_allclose(
+        got8.spectrogram_intensity[inside],
+        got32.spectrogram_intensity[inside],
+        atol=int8_db_step() / 2 + 2e-3,
+    )
+    below = got32.spectrogram_intensity < lo - 1.0
+    assert np.all(got8.spectrogram_intensity[below] == np.float32(lo))

@@ -45,7 +45,7 @@ def test_matches_xla_composition(l, count):
     p_ref, db_ref, int_ref = _ref(op, sig, count)
 
     dbd_, intd_ = spectrogram_pallas(sig, jnp.asarray(count), op,
-                                     tile=512)[1:]
+                                     tile=512, psd_precision="high")[1:]
     # bf16x3 phase 1: absolute ~2^-18·Σ|op||fr| PSD noise — µdB where
     # displayable, unbounded only in deep nulls (it rides the dB log).
     md = db_ref > -40
@@ -152,3 +152,81 @@ def test_rejects_bad_args():
                               fs=1000.0, hop=1)
     with pytest.raises(ValueError, match="shorter"):
         spectrogram_pallas(jnp.zeros(10), jnp.asarray(10), op1)
+
+
+def test_rejects_conflicting_tiled_args():
+    """Explicit recompute/psd_precision must ERROR on the tiled path, not
+    be silently ignored (ADVICE r4)."""
+    sig = jnp.ones(600, jnp.float32)
+    op_small = StftOperator.create(window_length=20, beta=3.0, nfft=256,
+                                   fs=1000.0, hop=1)
+    op_big = StftOperator.create(window_length=20, beta=3.0, nfft=2048,
+                                 fs=1000.0, hop=1)
+    # Auto-selected tiled path (nfft 2048):
+    with pytest.raises(ValueError, match="recompute"):
+        spectrogram_pallas(sig, jnp.asarray(600), op_big, recompute=True)
+    with pytest.raises(ValueError, match="HIGHEST"):
+        spectrogram_pallas(sig, jnp.asarray(600), op_big,
+                           psd_precision="high")
+    # Explicitly-forced tiled path at small nfft:
+    with pytest.raises(ValueError, match="HIGHEST"):
+        spectrogram_pallas(sig, jnp.asarray(600), op_small, tiled=True,
+                           psd_precision="high")
+    # Recompute is HIGHEST-only too:
+    with pytest.raises(ValueError, match="recompute"):
+        spectrogram_pallas(sig, jnp.asarray(600), op_small, recompute=True,
+                           psd_precision="high")
+    with pytest.raises(ValueError, match="psd_precision"):
+        spectrogram_pallas(sig, jnp.asarray(600), op_small,
+                           psd_precision="default")
+
+
+def test_resolves_tiled_helper():
+    from fmcw_radar_processing_tpu.ops.stft_pallas import resolves_tiled
+
+    op_small = StftOperator.create(window_length=20, beta=3.0, nfft=256,
+                                   fs=1000.0, hop=1)
+    op_big = StftOperator.create(window_length=20, beta=3.0, nfft=2048,
+                                 fs=1000.0, hop=1)
+    assert not resolves_tiled(op_small)
+    assert resolves_tiled(op_big)
+    assert resolves_tiled(op_small, tiled=True)
+    assert not resolves_tiled(op_big, tiled=False)
+
+
+@pytest.mark.parametrize("variant", ["untiled", "tiled", "recompute"])
+def test_int8_intensity_emission(variant):
+    """int8 kernel-epilogue emission: decoded dB within half a
+    quantization step (≈0.083 dB) of the f32 intensity for in-range
+    values, clamped outside INT8_DB_RANGE."""
+    from fmcw_radar_processing_tpu.dsp.stft import (
+        INT8_DB_RANGE,
+        decode_db_int8,
+        int8_db_step,
+    )
+
+    rng = np.random.default_rng(7)
+    sig = jnp.asarray(np.abs(
+        rng.standard_normal(800) + 0.5 * np.sin(np.arange(800) * 0.3)
+    ).astype(np.float32))
+    nfft = 1024 if variant == "tiled" else 256
+    op = StftOperator.create(window_length=20, beta=3.0, nfft=nfft,
+                             fs=1000.0, hop=1)
+    kw = dict(tile=512, tile2=256)
+    if variant == "recompute":
+        kw["recompute"] = True
+    _, db, int_f32 = spectrogram_pallas(sig, jnp.asarray(800), op, **kw)
+    _, _, int_i8 = spectrogram_pallas(sig, jnp.asarray(800), op,
+                                      intensity_dtype=jnp.int8, **kw)
+    assert np.asarray(int_i8).dtype == np.int8
+    dec = decode_db_int8(int_i8)
+    f32 = np.asarray(int_f32)
+    lo, hi = INT8_DB_RANGE
+    inside = (f32 > lo + 0.1) & (f32 < hi - 0.1)
+    assert inside.sum() > 100
+    # + 2e-3 margin: f32 round-boundary fuzz (kernel acc and host decode
+    # both in f32; values at exactly half a step can land either side).
+    np.testing.assert_allclose(dec[inside], f32[inside],
+                               atol=int8_db_step() / 2 + 2e-3)
+    below = f32 < lo - 0.5
+    assert np.all(dec[below] == np.float32(lo))
