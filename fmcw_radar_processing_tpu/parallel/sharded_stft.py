@@ -43,6 +43,14 @@ class ShardedStft:
 
     op: StftOperator
     mesh: Mesh
+    # --- measurement instrumentation (bench_scaling sp decomposition) ---
+    # Disabling any of these produces WRONG results at shard boundaries /
+    # in the dB normalization — they exist so the scaling bench can
+    # attribute the N=2 efficiency loss stage by stage (VERDICT r4 item 2),
+    # not for production use.
+    exchange_halo: bool = True  # False: zeros instead of the ppermute halo
+    global_db_max: bool = True  # False: per-shard max instead of the pmax
+    compute_db: bool = True  # False: skip the log epilogue (db slot = power)
 
     def __call__(self, signal: jax.Array, valid_len: jax.Array):
         op = self.op
@@ -64,12 +72,19 @@ class ShardedStft:
             # HEAD samples — wrong data for its trailing columns, which is
             # harmless because those columns are globally invalid (the last
             # W−1 window starts of the signal) and masked below.
-            halo = jax.lax.ppermute(
-                x_local[: w - 1],
-                axis_name=DATA_AXIS,
-                perm=[(i, (i - 1) % n) for i in range(n)] if n > 1 else [(0, 0)],
-            )
-            if n > 1:
+            if self.exchange_halo:
+                # At n == 1 the (identity) ppermute still executes and its
+                # result is discarded below — the N=1 baseline pays the
+                # same collective dispatch as the sharded runs.
+                halo = jax.lax.ppermute(
+                    x_local[: w - 1],
+                    axis_name=DATA_AXIS,
+                    perm=[(i, (i - 1) % n) for i in range(n)]
+                    if n > 1 else [(0, 0)],
+                )
+            else:
+                halo = jnp.zeros(w - 1, x_local.dtype)
+            if n > 1 and self.exchange_halo:
                 ext = jnp.concatenate([x_local, halo])
             else:
                 ext = jnp.concatenate([x_local, jnp.zeros(w - 1, x_local.dtype)])
@@ -82,9 +97,16 @@ class ShardedStft:
             valid = col_global + w <= vlen
             local_p = jnp.where(valid[None, :], local_p, 0.0)
             # Global max for dB normalization (:282-283).
-            g = jax.lax.pmax(
-                jnp.max(local_p), axis_name=axis_names
-            )
+            if self.global_db_max:
+                g = jax.lax.pmax(jnp.max(local_p), axis_name=axis_names)
+            else:
+                g = jnp.max(local_p)
+            if not self.compute_db:
+                # Keep a data dependence on g (through a barrier, so the
+                # 0·g cannot be folded away) — the max/pmax stage must not
+                # be DCE'd: this variant isolates the log epilogue only.
+                g_b = jax.lax.optimization_barrier(g)
+                return local_p, local_p + 0.0 * g_b, valid
             safe_g = jnp.where(g > 0, g, 1.0)
             from fmcw_radar_processing_tpu.dsp.stft import DB_FLOOR
 
