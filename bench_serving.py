@@ -7,15 +7,20 @@ pipeline per process. This bench drives it over a real socket with N
 concurrent clients and records requests/s + latency percentiles for:
 
   * POST /process  — the full MPS contract on a small stored recording
-    (download → chain → STFT → 4 payload uploads per request);
-  * POST /classify — spectrogram PNG bytes → SmallCNN prediction.
+    (download → chain → STFT → 4 payload uploads per request), on BOTH
+    algorithm profiles: fidelity (reference-literal) and production
+    (the promoted throughput point — VERDICT r4 item 4a);
+  * POST /classify — spectrogram PNG bytes → SmallCNN prediction, with
+    cross-request micro-batching (serve/batcher.py): concurrent requests
+    coalesce into one bucketed device batch (VERDICT r4 item 4b); the
+    recorded row includes how much coalescing happened.
 
-The jit cache is shared across server threads (requests serialize on the
-accelerator lock — same model as one MPS worker per replica), so
+The jit cache is shared across server threads (chain requests serialize
+on the accelerator lock — same model as one MPS worker per replica), so
 concurrency measures queueing + host overhead on top of compute, not
 recompiles.
 
-Run: python bench_serving.py [--record]   # --record writes SERVING_r04.json
+Run: python bench_serving.py [--record]   # --record writes SERVING_r05.json
 """
 
 from __future__ import annotations
@@ -117,26 +122,52 @@ def main() -> int:
         out.spectrogram_psd_db, size=(300, 200))
     png = open(png_path, "rb").read()
 
-    hc = HandlerConfig(fdata="radar_data", workdir=work,
-                       storage_spec=f"local:{blob}")
     rows = []
-    with RadarHttpService(hc, classifier=clf, port=0) as srv:
-        # Warm both jit caches once.
-        _post(srv.url + "process", b"{}")
-        _post(srv.url + "classify", png, "image/png")
-        for name, url, bodies, ctype in (
-            ("process", srv.url + "process",
-             [json.dumps({"processAnimalActivity": "no"}).encode()],
-             "application/json"),
-            ("classify", srv.url + "classify", [png], "image/png"),
-        ):
-            rps, p50, p95 = _drive(url, bodies, workers, total, ctype)
-            row = {"endpoint": name, "workers": workers,
-                   "requests": total, "frames_per_recording": frames,
+    process_body = [json.dumps({"processAnimalActivity": "no"}).encode()]
+    # r5 (VERDICT r4 item 4a): /process measured on BOTH algorithm
+    # profiles. The r4 artifact only recorded the fidelity profile
+    # (reference-literal hop-1 / next-pow-2 STFT); production() is the
+    # repo's own promoted throughput point and is what `serve --profile
+    # production` runs.
+    for profile in ("fidelity", "production"):
+        hc = HandlerConfig(fdata="radar_data", workdir=work,
+                           storage_spec=f"local:{blob}", profile=profile)
+        with RadarHttpService(hc, port=0) as srv:
+            _post(srv.url + "process", b"{}")  # warm the jit cache
+            rps, p50, p95 = _drive(srv.url + "process", process_body,
+                                   workers, total, "application/json")
+            row = {"endpoint": "process", "profile": profile,
+                   "workers": workers, "requests": total,
+                   "frames_per_recording": frames,
                    "requests_per_s": round(rps, 2),
                    "p50_ms": round(p50, 1), "p95_ms": round(p95, 1)}
             rows.append(row)
             print(json.dumps(row), flush=True)
+
+    # r5 (VERDICT r4 item 4b): /classify with cross-request micro-batching
+    # (serve/batcher.py) — concurrent requests coalesce into one bucketed
+    # device batch; healthz reports how much coalescing happened.
+    hc = HandlerConfig(fdata="radar_data", workdir=work,
+                       storage_spec=f"local:{blob}")
+    with RadarHttpService(hc, classifier=clf, port=0) as srv:
+        _post(srv.url + "classify", png, "image/png")  # warm
+        rps, p50, p95 = _drive(srv.url + "classify", [png], workers,
+                               total, "image/png")
+        with urllib.request.urlopen(srv.url + "healthz", timeout=60) as r:
+            health = json.loads(r.read())
+        bstats = health.get("classify_batching", {})
+        served = max(bstats.get("batches", 1), 1)
+        row = {"endpoint": "classify", "workers": workers,
+               "requests": total,
+               "requests_per_s": round(rps, 2),
+               "p50_ms": round(p50, 1), "p95_ms": round(p95, 1),
+               "batches": bstats.get("batches"),
+               "batched_images": bstats.get("batched_images"),
+               "max_batch": bstats.get("max_batch"),
+               "mean_batch": round(
+                   bstats.get("batched_images", 0) / served, 2)}
+        rows.append(row)
+        print(json.dumps(row), flush=True)
 
     if record:
         artifact = {
@@ -144,14 +175,18 @@ def main() -> int:
             "methodology": (
                 f"{workers} concurrent clients, {total} requests per "
                 "endpoint over a real socket against ThreadingHTTPServer; "
-                "shared jit cache, accelerator lock serializes compute "
-                "(one MPS worker per replica, README.md:35-38 analog); "
+                "shared jit cache; /process serializes on the accelerator "
+                "lock (one MPS worker per replica, README.md:35-38 "
+                "analog) and is measured on both the fidelity and "
+                "production algorithm profiles; /classify coalesces "
+                "concurrent requests into bucketed device batches "
+                "(serve/batcher.py) with a bounded 503-on-full queue; "
                 "warmup request excluded"),
             "rows": rows,
         }
-        with open("SERVING_r04.json", "w") as f:
+        with open("SERVING_r05.json", "w") as f:
             json.dump(artifact, f, indent=2)
-        print("wrote SERVING_r04.json")
+        print("wrote SERVING_r05.json")
     return 0
 
 

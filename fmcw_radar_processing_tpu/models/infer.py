@@ -96,6 +96,22 @@ class SpectrogramClassifier:
 
         self._forward = jax.jit(forward)
 
+    def warmup(self, max_bucket: int = MAX_BATCH_BUCKET) -> None:
+        """Trace/compile the forward at every batch bucket ≤ max_bucket.
+
+        A long-running service must never compile during a request: the
+        bucketed forward compiles once per power-of-two batch size, and
+        without warmup the first coalesced batch of each size pays the
+        ~1 s trace+compile inside a client's latency window (measured as
+        the p95 of the first r5 serving run). Called at service start
+        (serve/http_service.py)."""
+        b = 1
+        while b <= max_bucket:
+            np.asarray(self._forward(
+                self.params,
+                jnp.zeros((b, *self.input_shape), jnp.float32)))
+            b *= 2
+
     # ------------------------------ loading ------------------------------
 
     @classmethod

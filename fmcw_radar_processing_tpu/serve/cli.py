@@ -244,6 +244,8 @@ def cmd_robustness(args) -> int:
         grad_clip_norm=args.grad_clip,
         snr_grid_db=tuple(float(s) for s in args.snr_grid.split(",")),
         seed=args.seed,
+        mixture_augment=args.mixture_augment,
+        mixture_frac=args.mixture_frac,
         log_fn=print,
     )
     print(robustness_markdown(report))
@@ -288,7 +290,8 @@ def cmd_serve(args) -> int:
     )
     try:
         srv = RadarHttpService(cfg, port=args.port, host=args.host,
-                               classifier_artifact=args.classifier_artifact)
+                               classifier_artifact=args.classifier_artifact,
+                               classify_queue_images=args.classify_queue)
     except OSError as e:
         print(f"cannot bind {args.host}:{args.port}: {e.strerror or e}",
               file=sys.stderr)
@@ -424,6 +427,12 @@ def build_parser() -> argparse.ArgumentParser:
                          "has ~18 dB of processing gain (64-pt coherent "
                          "FFT), so the interesting break is well below "
                          "0 dB per-sample SNR")
+    pr.add_argument("--mixture-augment", action="store_true",
+                    help="train with a fraction of images carrying a "
+                         "sub-dominant other-class distractor in the same "
+                         "range bin (dominant-class label) — the fix for "
+                         "the r4 overlapping-signature failure")
+    pr.add_argument("--mixture-frac", type=float, default=0.5)
     pr.set_defaults(fn=cmd_robustness)
 
     pcl = sub.add_parser("classify",
@@ -447,6 +456,9 @@ def build_parser() -> argparse.ArgumentParser:
                     help="fidelity = reference-literal STFT/f32 artifacts; "
                          "production = promoted throughput profile "
                          "(AlgorithmConfig.production)")
+    pv.add_argument("--classify-queue", type=int, default=256,
+                    help="bounded /classify queue (images); full queue "
+                         "answers 503 (backpressure)")
     pv.set_defaults(fn=cmd_serve)
 
     pd = sub.add_parser("dashboard", help="serve the monitoring dashboard")

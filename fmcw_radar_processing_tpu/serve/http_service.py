@@ -19,10 +19,14 @@ recording-shape bucket), exposed over stdlib HTTP:
     GET  /healthz   liveness + request counters
     GET  /          service info
 
-Requests are serialized through a lock: the TPU is a single shared
-accelerator, and the reference's MPS concurrency model (scale via
-replicas, one request per worker) maps to one in-flight request per
-process here. Zero third-party dependencies.
+Accelerator access is serialized through a lock (the TPU is a single
+shared accelerator; the reference's MPS concurrency model — scale via
+replicas, one request per worker, README.md:35-38 — maps to one in-flight
+chain request per process). /classify goes further than the reference's
+model can: concurrently-arriving requests are coalesced into ONE bucketed
+device batch by serve/batcher.py (cross-request micro-batching), with a
+bounded queue that answers 503 when full (backpressure) instead of
+accumulating unbounded latency. Zero third-party dependencies.
 """
 
 from __future__ import annotations
@@ -39,6 +43,7 @@ from fmcw_radar_processing_tpu.utils.observe import log_event
 class _Handler(BaseHTTPRequestHandler):
     service: RadarService = None  # type: ignore[assignment]
     classifier = None  # SpectrogramClassifier | None
+    batcher = None  # serve.batcher.ClassifyBatcher | None
     lock: threading.Lock = None  # type: ignore[assignment]
     stats: dict = None  # type: ignore[assignment]
     # Counter updates happen on ThreadingHTTPServer worker threads; dict
@@ -64,7 +69,10 @@ class _Handler(BaseHTTPRequestHandler):
     def do_GET(self) -> None:  # noqa: N802 (stdlib API)
         path = self.path.split("?", 1)[0]
         if path == "/healthz":
-            self._send(200, {"status": "ok", **self.stats})
+            extra = {}
+            if self.batcher is not None:
+                extra["classify_batching"] = dict(self.batcher.stats)
+            self._send(200, {"status": "ok", **self.stats, **extra})
         elif path == "/":
             endpoints = {"POST /process": "run the radar chain",
                          "GET /healthz": "liveness"}
@@ -144,9 +152,38 @@ class _Handler(BaseHTTPRequestHandler):
             return
         t0 = time.perf_counter()
         try:
-            with self.lock:  # one in-flight accelerator request per process
-                predictions = self.classifier.classify_bytes(blobs)
+            import numpy as np
+
+            # Decode on this request's thread (host CPU work, concurrent);
+            # only the device forward goes through the batcher, which
+            # coalesces concurrently-arriving requests into one bucketed
+            # batch behind the accelerator lock (serve/batcher.py).
+            imgs = np.stack(
+                [self.classifier.decode_image_bytes(b) for b in blobs])
         except Exception as e:  # undecodable image, shape mismatch, ...
+            with self.stats_lock:
+                self.stats["errors"] += 1
+            self._send(400, {"status": "error",
+                             "message": f"classification failed: {e}"})
+            return
+        from fmcw_radar_processing_tpu.serve.batcher import QueueFullError
+
+        try:
+            if self.batcher is not None:
+                predictions = self.batcher.classify(imgs, timeout=300.0)
+            else:
+                with self.lock:
+                    predictions = self.classifier.classify(imgs)
+        except QueueFullError as e:
+            with self.stats_lock:
+                self.stats["errors"] += 1
+                self.stats["rejected"] = self.stats.get("rejected", 0) + 1
+            # Bounded-queue backpressure: tell the client to back off /
+            # retry against another replica instead of queueing unbounded.
+            self._send(503, {"status": "error",
+                             "message": f"overloaded: {e}"})
+            return
+        except Exception as e:
             with self.stats_lock:
                 self.stats["errors"] += 1
             self._send(400, {"status": "error",
@@ -171,7 +208,8 @@ class RadarHttpService:
     def __init__(self, config: HandlerConfig | None = None,
                  port: int = 8060, host: str = "127.0.0.1",
                  service: RadarService | None = None,
-                 classifier=None, classifier_artifact: str | None = None):
+                 classifier=None, classifier_artifact: str | None = None,
+                 classify_queue_images: int = 256):
         svc = service or RadarService(config)
         if classifier is None and classifier_artifact:
             from fmcw_radar_processing_tpu.models.infer import (
@@ -179,15 +217,32 @@ class RadarHttpService:
             )
 
             classifier = SpectrogramClassifier.load(classifier_artifact)
+        accel_lock = threading.Lock()
+        batcher = None
+        if classifier is not None:
+            from fmcw_radar_processing_tpu.serve.batcher import (
+                ClassifyBatcher,
+            )
+
+            if hasattr(classifier, "warmup"):
+                # Compile every batch bucket BEFORE serving: otherwise the
+                # first coalesced batch of each size pays ~1 s trace+
+                # compile inside a client's latency window.
+                classifier.warmup()
+            batcher = ClassifyBatcher(
+                classifier, accel_lock=accel_lock,
+                max_queue_images=classify_queue_images)
         handler = type("Handler", (_Handler,), {
             "service": svc,
             "classifier": classifier,
-            "lock": threading.Lock(),
+            "batcher": batcher,
+            "lock": accel_lock,
             "stats": {"requests": 0, "errors": 0},
             "stats_lock": threading.Lock(),
         })
         self.service = svc
         self.classifier = classifier
+        self.batcher = batcher
         self.httpd = ThreadingHTTPServer((host, port), handler)
         self._thread: threading.Thread | None = None
 
@@ -208,6 +263,8 @@ class RadarHttpService:
         self.httpd.server_close()
         if self._thread is not None:
             self._thread.join(timeout=5)
+        if self.batcher is not None:
+            self.batcher.stop()
 
     def serve_forever(self) -> None:
         self.httpd.serve_forever()
