@@ -826,6 +826,42 @@ def run_matrix(quick: bool = False) -> list[dict]:
 
     robust("6_fidelity_stft_nextpow2", config6)
 
+    # -- Activity ('yes') batch mode (VERDICT r4 item 6): one of the two
+    # production entry modes of the reference (radar_processing.m:440-607).
+    # End-to-end HOST wall time of process_activity — the chain runs once
+    # over the whole recording, then per-batch packing + STFT + payload
+    # build for the first max_plots(4) qualifying batches (the reference's
+    # early-stop, :597-599), including the per-batch D2H syncs and JSON
+    # assembly a deployment pays. Median of 3 runs.
+    def config7():
+        import statistics
+
+        from fmcw_radar_processing_tpu.pipeline.recording import RadarPipeline
+
+        cfg_a = RadarConfig.create(default_device_config(),
+                                   AlgorithmConfig.production())
+        pipe = RadarPipeline(cfg_a)
+        raw_np = np.asarray(raw_all).reshape(f_big, cfg.pn, -1)
+        outs = pipe.process_activity(raw_np, calib)  # warm both stages
+        ts = []
+        for _ in range(3):
+            t0 = time.perf_counter()
+            pipe.process_activity(raw_np, calib)
+            ts.append(time.perf_counter() - t0)
+        dt = statistics.median(ts)
+        add("7_activity_batch_mode", "production", f_big / dt,
+            chain_flops_per_frame(cfg_a, nfft, with_rescale=False),
+            {"frames": f_big, "batch_size": cfg_a.algorithm.batch_size,
+             "max_plots": cfg_a.algorithm.max_plots,
+             "batches_emitted": len(outs), "trials": 3,
+             "wall_s_median": round(dt, 3),
+             "wall_s_spread": [round(min(ts), 3), round(max(ts), 3)],
+             "note": "host wall time end-to-end incl. per-batch D2H "
+                     "syncs + payload JSON assembly (not pure device "
+                     "time; the 'yes' mode is host-orchestrated)"})
+
+    robust("7_activity_batch_mode", config7)
+
     meta = {
         "device_kind": backend,
         "peak_flops_assumed": peak,
@@ -842,12 +878,132 @@ def run_matrix(quick: bool = False) -> list[dict]:
     return [{"meta": meta}] + rows
 
 
+def _xla_cost(compiled) -> tuple[float, float]:
+    """(bytes accessed, flops) from XLA's compiler cost analysis."""
+    ca = compiled.cost_analysis()
+    ca = ca[0] if isinstance(ca, list) else ca
+    return (float(ca.get("bytes accessed", 0.0)),
+            float(ca.get("flops", 0.0)))
+
+
+def _trace_top_fusions(rep, args, dispatches: int, n_iter: int,
+                       run=None) -> tuple[list, float]:
+    """jax.profiler device trace of ``rep(*args)`` × dispatches →
+    (top-fusion list with per-iteration µs + HLO identification,
+    device µs/iteration). ``run`` overrides how one dispatch is driven."""
+    import collections
+    import gzip
+    import os
+    import re
+    import tempfile
+
+    import jax
+
+    drive = run or (lambda: _scalar(rep(*args)))
+    drive()  # compile + warm OUTSIDE the trace window
+    tdir = tempfile.mkdtemp(prefix="fmcw_roofline_trace_")
+    jax.profiler.start_trace(tdir)
+    for _ in range(dispatches):
+        drive()
+    jax.profiler.stop_trace()
+
+    trace_path = None
+    for root, _, files in os.walk(tdir):
+        for fn in files:
+            if fn.endswith("trace.json.gz"):
+                trace_path = os.path.join(root, fn)
+    ops = collections.Counter()
+    device_total_us = 0.0
+    if trace_path:
+        data = json.loads(gzip.open(trace_path).read())
+        events = data.get("traceEvents", [])
+        pids = {e["pid"]: e["args"]["name"] for e in events
+                if e.get("ph") == "M" and e.get("name") == "process_name"}
+        tids = {(e["pid"], e["tid"]): e["args"].get("name") for e in events
+                if e.get("ph") == "M" and e.get("name") == "thread_name"}
+        for e in events:
+            if e.get("ph") != "X" or "TPU" not in str(pids.get(e["pid"], "")):
+                continue
+            lane = tids.get((e["pid"], e["tid"]), "")
+            if lane == "XLA Ops":
+                ops[e["name"]] += e.get("dur", 0.0)
+            elif lane == "XLA Modules":
+                device_total_us += e.get("dur", 0.0)
+
+    # Attach HLO definition snippets so "fusion.N" is identifiable.
+    hlo_lines = {}
+    if rep is not None:
+        hlo = rep.lower(*args).compile().as_text()
+        for line in hlo.splitlines():
+            s = line.strip()
+            if s.startswith("%") and " = " in s:
+                hlo_lines[s[1:].split(" ", 1)[0]] = s
+            elif s.startswith("ROOT ") and " = " in s:
+                hlo_lines[s[5:].split(" ", 1)[0]] = s
+    top = []
+    # Share against the MODULE device time (containers like the repeat
+    # loop's `while` wrap their children in the ops lane and would
+    # double-count against an ops-lane sum).
+    total_us = device_total_us or sum(ops.values()) or 1.0
+    for name, us in ops.most_common(14):
+        line = hlo_lines.get(name, "")
+        m = re.search(r'op_name="([^"]*)"', line)
+        shape = line.split(" = ", 1)[1].split(" ", 1)[0] if " = " in line else ""
+        top.append({
+            "op": name,
+            "us_per_iteration": round(us / n_iter, 2),
+            "share_pct": round(100 * us / total_us, 1),
+            "shape": shape[:100],
+            "op_name": (m.group(1) if m else "")[:160],
+            "is_container": name.startswith("while"),
+        })
+    return top, (device_total_us / n_iter if device_total_us else 0.0)
+
+
+def _roofline_entry(cfg, full, args, frames: int, nfft: int,
+                    label: str) -> dict:
+    """One measured roofline entry for a full-chain program."""
+    import numpy as np  # noqa: F401
+
+    xla_bytes, xla_flops = _xla_cost(full.lower(*args).compile())
+    dt = _time_steady(full, args)
+    fps = frames / dt
+    inner, dispatches = 8, 3
+    rep = _repeat_jit(full, inner)
+    top, dev_us = _trace_top_fusions(rep, args, dispatches,
+                                     inner * dispatches)
+    model_bpf = chain_bytes_per_frame(
+        cfg, nfft, intensity_bytes=_intensity_bytes(cfg))
+    xla_bpf = xla_bytes / frames
+    hbm_peak = chip_peak_hbm_gbps()
+    peak = chip_peak_flops()
+    return {
+        "config": label,
+        "frames": frames,
+        "frames_per_s": round(fps, 1),
+        "model_bytes_per_frame": round(model_bpf, 1),
+        "xla_bytes_per_frame": round(xla_bpf, 1),
+        "xla_vs_model_ratio": round(xla_bpf / model_bpf, 3),
+        "xla_flops_per_frame": round(xla_flops / frames, 1),
+        "measured_gbps_xla": round(fps * xla_bpf / 1e9, 1),
+        "measured_gbps_model": round(fps * model_bpf / 1e9, 1),
+        "hbm_peak_gbps": hbm_peak,
+        "hbm_pct_xla": (round(100 * fps * xla_bpf / 1e9 / hbm_peak, 1)
+                        if hbm_peak else None),
+        "mfu_pct_xla": (round(100 * fps * xla_flops / frames / peak, 2)
+                        if peak else None),
+        "device_us_per_iteration": round(dev_us, 1) if dev_us else None,
+        "wall_us_per_iteration": round(dt * 1e6, 1),
+        "top_fusions": top,
+    }
+
+
 def run_roofline(quick: bool = False) -> dict:
-    """MEASURED roofline of the production batched-replay config.
+    """MEASURED roofline of the BASELINE configs (VERDICT r3 item 2 +
+    r4 item 7 — configs 3/5 alongside the production config 4).
 
     Complements the analytic ``chain_bytes_per_frame`` lower-bound model
-    with two measurements of the exact production program (VERDICT r3
-    item 2):
+    with two measurements of the exact production programs:
 
       * XLA's own compiler cost analysis (``Compiled.cost_analysis()``) —
         the per-op operand+output bytes the compiled HLO actually touches,
@@ -858,13 +1014,8 @@ def run_roofline(quick: bool = False) -> dict:
         chip time measurably goes, with each hot fusion's HLO definition
         attached for identification.
 
-    Writes ROOFLINE_r04.json and returns the artifact dict.
+    Writes ROOFLINE_r05.json and returns the artifact dict.
     """
-    import collections
-    import gzip
-    import os
-    import tempfile
-
     import jax
     import jax.numpy as jnp
     import numpy as np
@@ -894,117 +1045,80 @@ def run_roofline(quick: bool = False) -> dict:
     raw = np.asarray(rec.rx1_pair()).reshape(f_big, cfg.pn, -1)
     calib = rec.calib_pair(0, cfg.nts)
     full = _make_full(cfg, "auto", nfft)
-    args = (jnp.asarray(raw), jnp.asarray(calib))
 
-    # --- XLA compiler bytes/flops of the single-iteration program ---
-    compiled = full.lower(*args).compile()
-    ca = compiled.cost_analysis()
-    ca = ca[0] if isinstance(ca, list) else ca
-    xla_bytes = float(ca.get("bytes accessed", 0.0))
-    xla_flops = float(ca.get("flops", 0.0))
+    entries = {}
+    # --- config 4: production batched replay (the r4 entry) ---
+    entries["4_batched_replay"] = _roofline_entry(
+        cfg, full, (jnp.asarray(raw), jnp.asarray(calib)), f_big, nfft,
+        "4_batched_replay production default")
 
-    # --- steady-state throughput (matrix methodology) ---
-    dt = _time_steady(full, args)
-    fps = f_big / dt
+    # --- config 3: multi-frame STFT at the BASELINE's 4096 frames ---
+    f_mid = min(4096, f_big)
+    entries["3_multi_frame_stft"] = _roofline_entry(
+        cfg, full, (jnp.asarray(raw[:f_mid]), jnp.asarray(calib)), f_mid,
+        nfft, "3_multi_frame_stft production profile")
 
-    # --- device trace of the 8×-repeated program ---
-    inner, dispatches = 8, 3
-    rep = _repeat_jit(full, inner)
-    _scalar(rep(*args))  # compile + warm OUTSIDE the trace window
-    tdir = tempfile.mkdtemp(prefix="fmcw_roofline_trace_")
-    jax.profiler.start_trace(tdir)
-    for _ in range(dispatches):
-        _scalar(rep(*args))
-    jax.profiler.stop_trace()
+    # --- config 5: streaming 8-channel steady state ---
+    from fmcw_radar_processing_tpu.pipeline.streaming import (
+        StreamingProcessor,
+    )
 
-    trace_path = None
-    for root, _, files in os.walk(tdir):
-        for fn in files:
-            if fn.endswith("trace.json.gz"):
-                trace_path = os.path.join(root, fn)
-    ops = collections.Counter()
-    device_total_us = 0.0
-    if trace_path:
-        data = json.loads(gzip.open(trace_path).read())
-        events = data.get("traceEvents", [])
-        pids = {e["pid"]: e["args"]["name"] for e in events
-                if e.get("ph") == "M" and e.get("name") == "process_name"}
-        tids = {(e["pid"], e["tid"]): e["args"].get("name") for e in events
-                if e.get("ph") == "M" and e.get("name") == "thread_name"}
-        for e in events:
-            if e.get("ph") != "X" or "TPU" not in str(pids.get(e["pid"], "")):
-                continue
-            lane = tids.get((e["pid"], e["tid"]), "")
-            if lane == "XLA Ops":
-                ops[e["name"]] += e.get("dur", 0.0)
-            elif lane == "XLA Modules":
-                device_total_us += e.get("dur", 0.0)
+    c, wf = 8, 256
+    sp = StreamingProcessor(cfg, channels=c, window_frames=wf, nfft=nfft)
+    raw_c = jax.device_put(
+        np.broadcast_to(raw[:wf].reshape(wf, cfg.pn, -1),
+                        (c, wf, cfg.pn, 2 * cfg.nts)).copy())
+    calib_c = jax.device_put(np.broadcast_to(calib, (c, cfg.nts, 2)).copy())
+    step = jax.jit(sp._step)
+    sargs = (raw_c, calib_c, sp._carry, sp._carry_len, sp._max_power)
+    sbytes, sflops = _xla_cost(step.lower(*sargs).compile())
+    import statistics
 
-    # Attach HLO definition snippets so "fusion.N" is identifiable.
-    import re
-
-    hlo = rep.lower(*args).compile().as_text()
-    hlo_lines = {}
-    for line in hlo.splitlines():
-        s = line.strip()
-        if s.startswith("%") and " = " in s:
-            hlo_lines[s[1:].split(" ", 1)[0]] = s
-        elif s.startswith("ROOT ") and " = " in s:
-            hlo_lines[s[5:].split(" ", 1)[0]] = s
-    n_iter = inner * dispatches
-    top = []
-    # Share against the MODULE device time (containers like the repeat
-    # loop's `while` wrap their children in the ops lane and would
-    # double-count against an ops-lane sum).
-    total_us = device_total_us or sum(ops.values()) or 1.0
-    for name, us in ops.most_common(14):
-        line = hlo_lines.get(name, "")
-        m = re.search(r'op_name="([^"]*)"', line)
-        shape = line.split(" = ", 1)[1].split(" ", 1)[0] if " = " in line else ""
-        top.append({
-            "op": name,
-            "us_per_iteration": round(us / n_iter, 2),
-            "share_pct": round(100 * us / total_us, 1),
-            "shape": shape[:100],
-            "op_name": (m.group(1) if m else "")[:160],
-            "is_container": name.startswith("while"),
-        })
-
-    model_bpf = chain_bytes_per_frame(
-        cfg, nfft, intensity_bytes=_intensity_bytes(cfg))
-    xla_bpf = xla_bytes / f_big
+    dt_win = statistics.median(
+        _bench_streaming_steady(sp, raw_c, calib_c) for _ in range(3)
+    )
+    frames_win = c * wf
+    fps5 = frames_win / dt_win
+    model_bpf5 = chain_bytes_per_frame(cfg, nfft, with_rescale=False)
     hbm_peak = chip_peak_hbm_gbps()
+    peak = chip_peak_flops()
+    entries["5_streaming_8ch"] = {
+        "config": "5_streaming_8ch steady state",
+        "channels": c, "window_frames": wf,
+        "frames_per_s": round(fps5, 1),
+        "window_latency_us": round(dt_win * 1e6, 1),
+        "model_bytes_per_frame": round(model_bpf5, 1),
+        "xla_bytes_per_frame": round(sbytes / frames_win, 1),
+        "xla_vs_model_ratio": round(sbytes / frames_win / model_bpf5, 3),
+        "xla_flops_per_frame": round(sflops / frames_win, 1),
+        "measured_gbps_xla": round(fps5 * sbytes / frames_win / 1e9, 1),
+        "measured_gbps_model": round(fps5 * model_bpf5 / 1e9, 1),
+        "hbm_peak_gbps": hbm_peak,
+        "hbm_pct_xla": (round(100 * fps5 * sbytes / frames_win / 1e9
+                              / hbm_peak, 1) if hbm_peak else None),
+        "mfu_pct_xla": (round(100 * fps5 * sflops / frames_win / peak, 2)
+                        if peak else None),
+        "note": ("bytes/flops from the single-window _step program's XLA "
+                 "cost analysis; throughput from the two-large-endpoint "
+                 "carry-threaded difference estimator (median of 3)"),
+    }
+
     artifact = {
         "device_kind": jax.devices()[0].device_kind,
-        "config": "4_batched_replay production default",
-        "frames": f_big,
-        "frames_per_s": round(fps, 1),
-        "model_bytes_per_frame": round(model_bpf, 1),
-        "xla_bytes_per_frame": round(xla_bpf, 1),
-        "xla_vs_model_ratio": round(xla_bpf / model_bpf, 3),
-        "xla_flops_per_frame": round(xla_flops / f_big, 1),
-        "measured_gbps_xla": round(fps * xla_bpf / 1e9, 1),
-        "measured_gbps_model": round(fps * model_bpf / 1e9, 1),
-        "hbm_peak_gbps": hbm_peak,
-        "hbm_pct_xla": (round(100 * fps * xla_bpf / 1e9 / hbm_peak, 1)
-                        if hbm_peak else None),
-        "device_us_per_iteration": (round(device_total_us / n_iter, 1)
-                                    if device_total_us else None),
-        "wall_us_per_iteration": round(dt * 1e6, 1),
-        "top_fusions": top,
+        "configs": entries,
         "methodology": (
             "xla_bytes = Compiled.cost_analysis()['bytes accessed'] of the "
-            "single-iteration production program (compiler accounting of "
-            "per-op operand+output traffic; for Pallas custom calls XLA "
-            "reports the kernel's DECLARED CostEstimate, which this repo "
-            "computes from the real block shapes and store dtypes); "
-            "top_fusions from a jax.profiler device trace of the "
-            f"8x-repeated program over {dispatches} dispatches (XLA Ops "
-            "lane, per-fusion device microseconds — fully measured); "
-            "throughput via the matrix's steady-state on-device repetition"
+            "single-iteration program (compiler accounting of per-op "
+            "operand+output traffic; for Pallas custom calls XLA reports "
+            "the kernel's DECLARED CostEstimate, which this repo computes "
+            "from the real block shapes and store dtypes); top_fusions "
+            "from a jax.profiler device trace of the 8x-repeated program "
+            "over 3 dispatches (XLA Ops lane, per-fusion device "
+            "microseconds — fully measured); throughput via the matrix's "
+            "steady-state on-device repetition"
         ),
     }
-    with open("ROOFLINE_r04.json", "w") as f:
+    with open("ROOFLINE_r05.json", "w") as f:
         json.dump(artifact, f, indent=2)
     print(json.dumps(artifact, indent=2))
     return artifact
@@ -1080,8 +1194,8 @@ if __name__ == "__main__":
     ap.add_argument("--matrix", action="store_true",
                     help="run the full benchmark matrix -> BENCH_MATRIX.json")
     ap.add_argument("--roofline", action="store_true",
-                    help="measured roofline (XLA bytes + profiler trace) "
-                         "-> ROOFLINE_r04.json")
+                    help="measured roofline of configs 3/4/5 (XLA bytes + "
+                         "profiler trace) -> ROOFLINE_r05.json")
     ap.add_argument("--quick", action="store_true",
                     help="smaller sizes (CI smoke)")
     args = ap.parse_args()
