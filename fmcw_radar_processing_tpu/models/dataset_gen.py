@@ -107,12 +107,26 @@ def generate_micro_doppler_dataset(
     noise_sigma: float = 0.05,
     seed: int = 0,
     image_size: tuple[int, int] = (1200, 800),
+    mixture_frac: float = 0.0,
+    mixture_ratio: tuple[float, float] = (0.25, 0.85),
 ) -> dict[str, list[str]]:
     """Generate ``out_dir/<class>/<class>_<i>.png`` spectrogram images.
 
     Every image goes through the full compiled chain once; recording shapes
     are constant so the chain and STFT stages compile exactly once each.
     Returns {class_name: [png paths]}.
+
+    mixture_frac (r5, VERDICT r4 item 1): fraction of each class's images
+    that additionally contain a DISTRACTOR target sampled from another
+    class, placed in the primary target's range bin at amplitude
+    primary × U(*mixture_ratio), still labeled as the primary class. This
+    teaches dominant-signature classification: the r4 robustness sweep
+    showed an other-class distractor at 0.6× drives a binary-trained
+    classifier toward chance at 39 dB SNR (ROBUSTNESS_r04_*,
+    CLASSIFIER_REPORT finding 2) because mixed signatures are simply
+    outside the training distribution. The reference's training pipeline
+    (Main_FYP_DCNN_training.ipynb cell 17) has no equivalent — its IDG
+    augmentations are image-space affine only.
     """
     cfg = cfg or RadarConfig.create(default_device_config())
     pipe = RadarPipeline(cfg)
@@ -122,8 +136,21 @@ def generate_micro_doppler_dataset(
         cdir = os.path.join(out_dir, spec.name)
         os.makedirs(cdir, exist_ok=True)
         paths = []
+        others = [c for c in classes if c.name != spec.name] or [spec]
         for i in range(images_per_class):
-            scene = spec.sample(rng)
+            scene = list(spec.sample(rng))
+            if mixture_frac > 0.0 and rng.random() < mixture_frac:
+                # Same construction as the robustness sweep's overlap
+                # condition (models/robustness.py): other-class signature
+                # in the SAME bin, sub-dominant amplitude.
+                other = others[int(rng.integers(len(others)))]
+                d = other.sample(rng)[0]
+                scene.append(dataclasses.replace(
+                    d, range_m=scene[0].range_m,
+                    amplitude=scene[0].amplitude
+                    * float(rng.uniform(*mixture_ratio)),
+                ))
+            scene = tuple(scene)
             rec = synthesize_recording(
                 cfg, frames_per_recording, scene,
                 noise_sigma=noise_sigma,

@@ -200,9 +200,19 @@ def run_robustness_sweep(
     snr_grid_db: Sequence[float] = (40.0, 25.0, 15.0, 10.0, 5.0, 0.0, -5.0),
     extra_conditions: bool = True,
     seed: int = 42,
+    mixture_augment: bool = False,
+    mixture_frac: float = 0.5,
+    mixture_ratio: tuple[float, float] = (0.25, 0.85),
     log_fn=None,
 ) -> dict:
-    """Train on clean data; evaluate across the degradation grid.
+    """Train on clean (or mixture-augmented) data; evaluate across the
+    degradation grid.
+
+    mixture_augment (r5, VERDICT r4 item 1): train with ``mixture_frac``
+    of images carrying a sub-dominant other-class distractor in the same
+    range bin (labeled by the DOMINANT class) — the fix for the r4
+    overlapping-signature failure (distractor@0.6× drove SmallCNN to
+    0.688 and VGG16 to 0.500 at 39 dB SNR).
 
     Returns the report dict (also written to ``out_dir/robustness.json``).
     """
@@ -215,14 +225,27 @@ def run_robustness_sweep(
     log = log_fn or (lambda *_: None)
     cfg = RadarConfig.create(default_device_config())
 
-    train_dir = os.path.join(out_dir, "train_clean")
+    if mixture_augment:
+        train_kind = (f"mixture{mixture_frac:g}_"
+                      f"{mixture_ratio[0]:g}-{mixture_ratio[1]:g}")
+    else:
+        train_kind = "clean"
+    # Key the cached train set by the parameters that shape it (the
+    # condition sets get the full gen_key treatment; here the dir name
+    # carries the knobs so modes/sizes never collide).
+    train_dir = os.path.join(
+        out_dir, f"train_{train_kind}_{train_images_per_class}x"
+                 f"{frames_per_recording}")
     if not os.path.isdir(train_dir):
-        log(f"generating clean train set ({train_images_per_class}/class)")
+        log(f"generating {train_kind} train set "
+            f"({train_images_per_class}/class)")
         generate_micro_doppler_dataset(
             train_dir, tuple(classes),
             images_per_class=train_images_per_class,
             frames_per_recording=frames_per_recording,
             cfg=cfg, seed=seed, image_size=render_size,
+            mixture_frac=mixture_frac if mixture_augment else 0.0,
+            mixture_ratio=mixture_ratio,
         )
     imgs, labels, class_names = load_image_folder(train_dir, size=image_size)
 
@@ -278,12 +301,17 @@ def run_robustness_sweep(
         "train_images_per_class": train_images_per_class,
         "test_images_per_class": test_images_per_class,
         "epochs": epochs,
+        "mixture_augment": mixture_augment,
+        "mixture_frac": mixture_frac if mixture_augment else 0.0,
+        "mixture_ratio": list(mixture_ratio) if mixture_augment else None,
         "history_tail": trainer.history[-1] if trainer.history else None,
         "rows": rows,
         "break_snr_db": break_snr,
         "snr_definition": "20*log10(mean target amplitude / noise_sigma)",
     }
-    with open(os.path.join(out_dir, f"robustness_{model}.json"), "w") as f:
+    suffix = "_mixture" if mixture_augment else ""
+    with open(os.path.join(out_dir, f"robustness_{model}{suffix}.json"),
+              "w") as f:
         json.dump(report, f, indent=2)
     return report
 

@@ -246,6 +246,8 @@ def cmd_robustness(args) -> int:
         seed=args.seed,
         mixture_augment=args.mixture_augment,
         mixture_frac=args.mixture_frac,
+        mixture_ratio=tuple(
+            float(x) for x in args.mixture_ratio.split(",")),
         log_fn=print,
     )
     print(robustness_markdown(report))
@@ -433,6 +435,9 @@ def build_parser() -> argparse.ArgumentParser:
                          "range bin (dominant-class label) — the fix for "
                          "the r4 overlapping-signature failure")
     pr.add_argument("--mixture-frac", type=float, default=0.5)
+    pr.add_argument("--mixture-ratio", default="0.25,0.85",
+                    help="comma-separated lo,hi distractor/primary "
+                         "amplitude ratio range for training mixtures")
     pr.set_defaults(fn=cmd_robustness)
 
     pcl = sub.add_parser("classify",

@@ -70,3 +70,58 @@ def test_sweep_report_roundtrip(tmp_path):
     assert os.path.exists(tmp_path / "robustness_small.json")
     with open(tmp_path / "robustness_small.json") as f:
         assert json.load(f)["rows"][0]["condition"] == "snr_+30dB"
+
+
+def test_condition_cache_regenerates_on_param_change(tmp_path):
+    """ADVICE r4: the image cache must key on generation parameters, not
+    file existence."""
+    classes = (CALF, HUMAN)
+    d = str(tmp_path / "set")
+    a = generate_condition_images(
+        d, classes, Condition("c", noise_sigma=0.05),
+        images_per_class=1, frames_per_recording=16,
+    )
+    # Same params → cached (same gen_key round-trips).
+    b = generate_condition_images(
+        d, classes, Condition("c", noise_sigma=0.05),
+        images_per_class=1, frames_per_recording=16,
+    )
+    assert a == b
+    # Changed params → regenerated, not stale.
+    import os
+
+    c = generate_condition_images(
+        d, classes, Condition("c", noise_sigma=0.05),
+        images_per_class=2, frames_per_recording=16,
+    )
+    assert c["gen_key"] != a["gen_key"]
+    assert len(os.listdir(os.path.join(d, "calf"))) == 2
+
+
+def test_mixture_augmented_sweep(tmp_path):
+    """Mixture-augmentation plumbing (r5): train set carries distractor
+    mixes, report records the knobs, artifact name gets the suffix."""
+    import json
+    import os
+
+    report = run_robustness_sweep(
+        str(tmp_path),
+        model="small",
+        train_images_per_class=2,
+        test_images_per_class=1,
+        frames_per_recording=16,
+        epochs=1,
+        batch_size=2,
+        image_size=(32, 32),
+        render_size=(160, 120),
+        snr_grid_db=(30.0,),
+        extra_conditions=False,
+        mixture_augment=True,
+        mixture_frac=1.0,
+    )
+    assert report["mixture_augment"] is True
+    assert report["mixture_frac"] == 1.0
+    assert os.path.exists(tmp_path / "robustness_small_mixture.json")
+    assert os.path.isdir(tmp_path / "train_mixture1_0.25-0.85_2x16")
+    with open(tmp_path / "robustness_small_mixture.json") as f:
+        assert json.load(f)["mixture_augment"] is True
