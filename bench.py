@@ -683,12 +683,23 @@ def run_matrix(quick: bool = False) -> list[dict]:
 
     robust("2_single_frame_full_chain", config2)
 
-    # -- BASELINE config 3: multi-frame STFT spectrogram
+    # -- BASELINE config 3: multi-frame STFT spectrogram. MEDIAN of 3
+    # trials: at 4096 frames the per-iteration device time (~0.7 ms) is
+    # small against the ~24 ms tunneled dispatch jitter, and a single
+    # difference estimate can swing 5x either way (one r5 sample read
+    # 1.07M where the profiler's device trace says 5.6M).
     f_mid = min(4096, f_big)
-    robust("3_multi_frame_stft", lambda: add(
-        "3_multi_frame_stft", "fused",
-        bench_tpu(cfg, raw_all[:f_mid], calib, nfft=nfft), fpf,
-        bytes_per_frame=bpf))
+
+    def config3():
+        import statistics
+
+        fps3 = statistics.median(
+            bench_tpu(cfg, raw_all[:f_mid], calib, nfft=nfft)
+            for _ in range(3))
+        add("3_multi_frame_stft", "fused", fps3, fpf,
+            {"frames": f_mid, "trials": 3}, bytes_per_frame=bpf)
+
+    robust("3_multi_frame_stft", config3)
 
     # -- BASELINE config 4: batched recording replay x (impl, precision) +
     # SNR. The grid records the fidelity/speed frontier: f32 impls at MXU
@@ -841,12 +852,21 @@ def run_matrix(quick: bool = False) -> list[dict]:
         cfg_a = RadarConfig.create(default_device_config(),
                                    AlgorithmConfig.production())
         pipe = RadarPipeline(cfg_a)
-        raw_np = np.asarray(raw_all).reshape(f_big, cfg.pn, -1)
-        outs = pipe.process_activity(raw_np, calib)  # warm both stages
+        # Input pre-staged on device, like every other matrix row: a
+        # first measurement passed HOST arrays and recorded 52 s — all of
+        # it the 536 MB raw H2D through the TUNNELED runtime (~25 MB/s),
+        # which production (local PCIe) pays in ~50 ms and which no other
+        # row includes either. What this row measures is the activity
+        # mode's own cost: one chain dispatch + per-batch pack/sync/STFT/
+        # D2H/payload for the first max_plots qualifying batches.
+        raw_dev = jax.device_put(
+            np.asarray(raw_all).reshape(f_big, cfg.pn, -1))
+        calib_dev = jax.device_put(np.asarray(calib))
+        outs = pipe.process_activity(raw_dev, calib_dev)  # warm
         ts = []
         for _ in range(3):
             t0 = time.perf_counter()
-            pipe.process_activity(raw_np, calib)
+            pipe.process_activity(raw_dev, calib_dev)
             ts.append(time.perf_counter() - t0)
         dt = statistics.median(ts)
         add("7_activity_batch_mode", "production", f_big / dt,
@@ -856,9 +876,9 @@ def run_matrix(quick: bool = False) -> list[dict]:
              "batches_emitted": len(outs), "trials": 3,
              "wall_s_median": round(dt, 3),
              "wall_s_spread": [round(min(ts), 3), round(max(ts), 3)],
-             "note": "host wall time end-to-end incl. per-batch D2H "
-                     "syncs + payload JSON assembly (not pure device "
-                     "time; the 'yes' mode is host-orchestrated)"})
+             "note": "host wall time end-to-end (device-resident input) "
+                     "incl. per-batch D2H syncs + payload JSON assembly "
+                     "— the 'yes' mode is host-orchestrated"})
 
     robust("7_activity_batch_mode", config7)
 
@@ -977,10 +997,37 @@ def _roofline_entry(cfg, full, args, frames: int, nfft: int,
     xla_bpf = xla_bytes / frames
     hbm_peak = chip_peak_hbm_gbps()
     peak = chip_peak_flops()
+    # The profiler's module device time is the authoritative rate for
+    # small programs: the (T(n)−T(1))/(n−1) wall estimator carries the
+    # tunnel dispatch constant in both endpoints and overshoots when the
+    # per-iteration device time is ≪ the ~25 ms dispatch jitter.
+    fps_dev = frames / (dev_us * 1e-6) if dev_us else None
+    entry_fps = fps_dev if (fps_dev and abs(fps - fps_dev) / fps_dev > 0.1
+                            ) else fps
+    out_extra = {}
+    if fps_dev and entry_fps is fps_dev:
+        out_extra["fps_note"] = (
+            "frames_per_s taken from the profiler's module device time "
+            "(authoritative); the wall difference estimator read "
+            f"{round(fps, 1)} — its dispatch-constant jitter dominates at "
+            "this program size")
+    if hbm_peak and entry_fps * xla_bpf / 1e9 > hbm_peak:
+        out_extra["bandwidth_note"] = (
+            "implied GB/s from the XLA cost-analysis bytes exceeds the "
+            "HBM roof — physically impossible as HBM traffic, so the "
+            "cost-analysis byte count overcounts cache/VMEM-served "
+            "re-reads (per-grid-step weight blocks, multi-consumer "
+            "operands) at this program size; measured_gbps_model (the "
+            "minimal-traffic lower-bound model) is the defensible HBM "
+            "figure")
+    fps = entry_fps
     return {
         "config": label,
         "frames": frames,
         "frames_per_s": round(fps, 1),
+        **({"frames_per_s_wall_estimator": round(frames / dt, 1)}
+           if fps_dev and fps is fps_dev else {}),
+        **out_extra,
         "model_bytes_per_frame": round(model_bpf, 1),
         "xla_bytes_per_frame": round(xla_bpf, 1),
         "xla_vs_model_ratio": round(xla_bpf / model_bpf, 3),
@@ -1075,14 +1122,23 @@ def run_roofline(quick: bool = False) -> dict:
     import statistics
 
     dt_win = statistics.median(
-        _bench_streaming_steady(sp, raw_c, calib_c) for _ in range(3)
+        _bench_streaming_steady(sp, raw_c, calib_c) for _ in range(5)
     )
     frames_win = c * wf
     fps5 = frames_win / dt_win
     model_bpf5 = chain_bytes_per_frame(cfg, nfft, with_rescale=False)
     hbm_peak = chip_peak_hbm_gbps()
     peak = chip_peak_flops()
+    extra5 = {}
+    if hbm_peak and fps5 * sbytes / frames_win / 1e9 > hbm_peak:
+        extra5["bandwidth_note"] = (
+            "implied GB/s from the XLA cost-analysis bytes exceeds the "
+            "HBM roof — the _step cost analysis overcounts cache-served "
+            "re-reads and multi-consumer operands at this window size; "
+            "measured_gbps_model (minimal-traffic lower bound) is the "
+            "defensible HBM figure")
     entries["5_streaming_8ch"] = {
+        **extra5,
         "config": "5_streaming_8ch steady state",
         "channels": c, "window_frames": wf,
         "frames_per_s": round(fps5, 1),
