@@ -196,11 +196,16 @@ def _make_full(cfg, impl: str, nfft: int):
             # config's "highest" phase 1 vs production's bf16x3 "high".
             # The tiled (large-nfft) path is HIGHEST-only.
             psd_prec = cfg.algorithm.stft_psd_precision
+            psd_store = (jnp.bfloat16
+                         if cfg.algorithm.stft_psd_store == "bfloat16"
+                         else jnp.float32)
             if resolves_tiled(op):
                 psd_prec = "highest"
+                psd_store = jnp.float32
             _, db, intensity = spectrogram_pallas(
                 pair_abs(sig), count, op, cfg.algorithm.max_freq_bins,
                 intensity_dtype=int_dtype, psd_precision=psd_prec,
+                psd_store_dtype=psd_store,
             )
         else:
             res = op(pair_abs(sig), valid_len=count)
@@ -757,6 +762,12 @@ def run_matrix(quick: bool = False) -> list[dict]:
         {"impl": "pallas_profile_high", "stft_psd_precision": "high"},
         {"impl": "pallas_profile_high", "intensity_dtype": "bfloat16",
          "stft_psd_precision": "high"},
+        # r5 promoted production default: + bf16 PSD store (the
+        # inter-phase [nb, T] round-trip at half traffic; measured +2.2%,
+        # display-band 0.1411 dB — the thin-margin note lives in
+        # AlgorithmConfig.production).
+        {"impl": "pallas_profile_high", "intensity_dtype": "bfloat16",
+         "stft_psd_precision": "high", "stft_psd_store": "bfloat16"},
         # r5 (VERDICT r4 item 5): int8 affine intensity emission in the
         # phase-2 epilogue — the export kernel is output-bandwidth-bound
         # (ROOFLINE_r04: 5.55 of 13.39 ms/iter), so quartering its

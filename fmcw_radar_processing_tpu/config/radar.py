@@ -132,6 +132,13 @@ class AlgorithmConfig:
     # export runs; the tiled (large-nfft) and recompute formulations are
     # HIGHEST-only.
     stft_psd_precision: str = "highest"
+    # Storage dtype of the [nb, T] PSD round-trip between the fused
+    # export's two kernel phases — pure inter-kernel traffic on a
+    # bandwidth-bound chain. "bfloat16" halves it at ~2^-9 relative
+    # (≤ ~0.034 dB measured through the dB map — p and gmax quantize
+    # together). Untiled materializing Pallas path only; fidelity
+    # default "float32".
+    stft_psd_store: str = "float32"
     # --- literal-compat flags (SURVEY Appendix A; default = intent) ---
     # Quirk #1: the 'no' branch writes target_measurements.(fr_idx, j) into
     # arrays preallocated zeros(T, F) (radar_processing.m:157-159 vs
@@ -168,8 +175,16 @@ class AlgorithmConfig:
         artifacts) used by the MPS-parity serve path and the oracle tests.
         """
         base: dict = dict(stft_nfft=256, intensity_dtype="bfloat16",
-                          stft_psd_precision="high")
+                          stft_psd_precision="high",
+                          stft_psd_store="bfloat16")
         base.update(overrides)
+        # (r5) stft_psd_store="bfloat16" joined the profile at +2.2%
+        # measured (5.00M vs 4.89M frames/s): display-band err 0.1411 dB
+        # vs the f64 oracle on the recorded workload — within the 0.15
+        # criterion, but the margin is thinner than r4's (bf16-intensity
+        # 0.125 hard bound + ~0.03 PSD-store noise, partially canceling);
+        # revert with production(stft_psd_store="float32") if a workload
+        # measures over.
         return cls(**base)
 
 

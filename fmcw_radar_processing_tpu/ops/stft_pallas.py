@@ -117,7 +117,12 @@ def _psd_kernel(fr_ref, op_ref, nv_ref, p_ref, tmax_ref, *,
     # Zero columns past the valid count (fixed-capacity masking).
     col = i * tile + jax.lax.broadcasted_iota(jnp.int32, p.shape, 1)
     p = jnp.where(col < nv_ref[0], p, 0.0)
-    p_ref[:] = p
+    # bf16 PSD store option: the [nb_pad, T] PSD round-trip between the
+    # phases is pure inter-kernel traffic on a bandwidth-bound chain;
+    # bf16 halves it at ~2^-9 relative ⇒ ≤ 20·log10(1+2^-9) ≈ 0.017 dB
+    # through the dB map (p and gmax quantize together). tmax is taken
+    # from the f32 value BEFORE the store cast.
+    p_ref[:] = p.astype(p_ref.dtype)
     # Whole tmax array is SMEM-mapped every step; write this tile's slot.
     tmax_ref[i] = jnp.max(p)
 
@@ -141,7 +146,7 @@ def _psd_kernel_b3(fr_ref, ophi_ref, oplo_ref, nv_ref, p_ref, tmax_ref, *,
     p = s2[:nb_pad] ** 2 + s2[nb_pad:] ** 2
     col = i * tile + jax.lax.broadcasted_iota(jnp.int32, p.shape, 1)
     p = jnp.where(col < nv_ref[0], p, 0.0)
-    p_ref[:] = p
+    p_ref[:] = p.astype(p_ref.dtype)  # see _psd_kernel's bf16-store note
     tmax_ref[i] = jnp.max(p)
 
 
@@ -271,7 +276,8 @@ def _db_rescale_kernel_tiled(p_ref, gmax_ref, whi_ref, wlo_ref,
 
 def _db_rescale_kernel(p_ref, gmax_ref, whi_ref, wlo_ref, wnyq_ref,
                        db_ref, int_ref, *, k_main: int):
-    p = p_ref[:]  # [nb_pad, tile]
+    # f32 no-op cast, or the bf16-PSD-store option's widening load.
+    p = p_ref[:].astype(jnp.float32)  # [nb_pad, tile]
     g = gmax_ref[0]
     safe = jnp.where(g > 0, g, 1.0)
     db = jnp.where(
@@ -307,7 +313,7 @@ def spectrogram_pallas(
     num_bins: int = 1024, tile: int = 2048, tile2: int = 512,
     intensity_dtype=jnp.float32, interpret: bool | None = None,
     tiled: bool | None = None, recompute: bool = False,
-    psd_precision: str | None = None,
+    psd_precision: str | None = None, psd_store_dtype=jnp.float32,
 ):
     """Full spectrogram export from a packed |slow-time| signal.
 
@@ -352,6 +358,13 @@ def spectrogram_pallas(
     is ``AlgorithmConfig.stft_psd_precision`` — the bare fidelity config
     stays "highest" so reference-literal serve paths never inherit the
     lossy kernel.
+
+    psd_store_dtype: dtype of the materialized [nb_pad, T] PSD (the
+    inter-phase round-trip — pure traffic on a bandwidth-bound chain).
+    bfloat16 halves it at ~2^-9 relative, ≤ ~0.017 dB through the dB map
+    (p and gmax quantize together); the psd return value is then bf16.
+    Untiled materializing path only; config knob
+    ``AlgorithmConfig.stft_psd_store``.
     """
     if interpret is None:
         interpret = jax.default_backend() not in ("tpu", "axon")
@@ -363,14 +376,17 @@ def spectrogram_pallas(
         raise ValueError(f"tile ({tile}) must be a multiple of tile2 ({tile2})")
     wl = op.window_length
     nb = op.num_bins
-    # Storage alignment: 8-row sublane multiples. The r3 kernels padded to
-    # 128 ("the contraction runs over this axis") — but since the Nyquist
-    # peel the phase-2 contraction K is k_main = nb−1 (a power of two), so
-    # only sublane granularity is required of the STORES, and the 128-pad
-    # was writing 256 PSD/dB rows where 129 are real: measured ~2 GB of
-    # pure padding traffic per 65536-frame replay at nfft 256. The tiled
-    # path keeps 128 (its kb-blocks must divide nb_pad).
-    nb_pad = -(-nb // 8) * 8
+    # Storage alignment: 8-row sublane multiples (16 when the PSD is
+    # stored bf16 — 2-byte dtypes tile at (16, 128)). The r3 kernels
+    # padded to 128 ("the contraction runs over this axis") — but since
+    # the Nyquist peel the phase-2 contraction K is k_main = nb−1 (a power
+    # of two), so only sublane granularity is required of the STORES, and
+    # the 128-pad was writing 256 PSD/dB rows where 129 are real: measured
+    # ~2 GB of pure padding traffic per 65536-frame replay at nfft 256.
+    # The tiled path keeps 128 (its kb-blocks must divide nb_pad).
+    store_bf16 = jnp.dtype(psd_store_dtype) == jnp.dtype(jnp.bfloat16)
+    align = 16 if store_bf16 else 8
+    nb_pad = -(-nb // align) * align
     l = sig.shape[0]
     t = l - wl + 1
     if t <= 0:
@@ -386,6 +402,11 @@ def spectrogram_pallas(
                          f"got {psd_precision!r}")
     if tiled is None:
         tiled = nb_pad > 512
+    if store_bf16 and (tiled or recompute):
+        raise ValueError(
+            "psd_store_dtype=bfloat16 applies to the untiled materializing "
+            "path only (the tiled path streams f32 bin blocks; recompute "
+            "never stores the PSD)")
     if tiled:
         # The bin-blocked path is HIGHEST-only and always materializes the
         # PSD; silently ignoring an explicit conflicting request would hand
@@ -404,7 +425,7 @@ def spectrogram_pallas(
             frames, nv, op, nb, -(-nb // 128) * 128, num_bins, tile, tile2,
             n_tiles, t_pad, t, intensity_dtype, interpret,
         )
-    a2 = jnp.asarray(_folded_operator(op, align=8))  # [2·nb_pad, W]
+    a2 = jnp.asarray(_folded_operator(op, align=align))  # [2·nb_pad, W]
     if recompute:
         if psd_precision == "high":
             raise ValueError(
@@ -416,7 +437,7 @@ def spectrogram_pallas(
         )
 
     if psd_precision == "high":
-        a2_np = _folded_operator(op, align=8)
+        a2_np = _folded_operator(op, align=align)
         a2_hi = a2_np.astype(jnp.bfloat16).astype(np.float32)
         a2_lo = (a2_np - a2_hi).astype(np.float32)
         op_spec = pl.BlockSpec((2 * nb_pad, wl), lambda i: (0, 0),
@@ -438,12 +459,14 @@ def spectrogram_pallas(
                              memory_space=pltpu.SMEM),
             ],
             out_shape=[
-                jax.ShapeDtypeStruct((nb_pad, t_pad), jnp.float32),
+                jax.ShapeDtypeStruct((nb_pad, t_pad), psd_store_dtype),
                 jax.ShapeDtypeStruct((n_tiles,), jnp.float32),
             ],
             cost_estimate=pl.CostEstimate(
                 flops=3 * 2 * t_pad * 2 * nb_pad * wl,
-                bytes_accessed=4 * (wl * t_pad + nb_pad * t_pad),
+                bytes_accessed=(4 * wl * t_pad
+                                + jnp.dtype(psd_store_dtype).itemsize
+                                * nb_pad * t_pad),
                 transcendentals=0,
             ),
             interpret=interpret,
@@ -467,12 +490,13 @@ def spectrogram_pallas(
                          memory_space=pltpu.SMEM),
         ],
         out_shape=[
-            jax.ShapeDtypeStruct((nb_pad, t_pad), jnp.float32),
+            jax.ShapeDtypeStruct((nb_pad, t_pad), psd_store_dtype),
             jax.ShapeDtypeStruct((n_tiles,), jnp.float32),
         ],
         cost_estimate=pl.CostEstimate(
             flops=2 * t_pad * 2 * nb_pad * wl,
-            bytes_accessed=4 * (t_pad + nb_pad * t_pad),
+            bytes_accessed=(4 * t_pad + jnp.dtype(psd_store_dtype).itemsize
+                            * nb_pad * t_pad),
             transcendentals=0,
         ),
         interpret=interpret,
@@ -529,11 +553,12 @@ def _phase2_untiled(p_pad, tmax, op: StftOperator, nb: int, nb_pad: int,
         ],
         cost_estimate=pl.CostEstimate(
             flops=2 * t_pad * num_bins * k_main,
-            # Real store dtypes: p read + db write f32, intensity write in
-            # its own itemsize (2 for bf16). XLA's cost analysis reports a
-            # custom call's declared estimate, so this is what
-            # bench.py --roofline sums for the kernel's traffic.
-            bytes_accessed=(4 * 2 * nb_pad * t_pad
+            # Real store dtypes: p read at its own itemsize (2 when the
+            # bf16-PSD-store option is on), db write f32, intensity write
+            # in its own itemsize (2 for bf16, 1 for int8). XLA's cost
+            # analysis reports a custom call's declared estimate, so this
+            # is what bench.py --roofline sums for the kernel's traffic.
+            bytes_accessed=((4 + p_pad.dtype.itemsize) * nb_pad * t_pad
                             + jnp.dtype(intensity_dtype).itemsize
                             * num_bins * t_pad),
             transcendentals=nb_pad * t_pad,  # log

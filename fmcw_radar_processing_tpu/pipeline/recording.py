@@ -148,8 +148,11 @@ class RadarPipeline:
             # HIGHEST-only — downgrade rather than trip its explicit-
             # conflict ValueError.
             psd_prec = a.stft_psd_precision
+            psd_store = (jnp.bfloat16 if a.stft_psd_store == "bfloat16"
+                         else jnp.float32)
             if resolves_tiled(op):
                 psd_prec = "highest"
+                psd_store = jnp.float32  # tiled path streams f32 blocks
 
             @jax.jit
             def stage(signal_abs: jax.Array, valid_len: jax.Array):
@@ -158,6 +161,7 @@ class RadarPipeline:
                 _, db, intensity = spectrogram_pallas(
                     signal_abs, valid_len, op, a.max_freq_bins,
                     intensity_dtype=int_dtype, psd_precision=psd_prec,
+                    psd_store_dtype=psd_store,
                 )
                 freqs = jnp.arange(
                     op.num_bins, dtype=jnp.float32

@@ -293,6 +293,29 @@ def test_stft_impl_pallas_matches_xla(cfg, rng):
                                rtol=1e-6)
 
 
+def test_production_profile_display_band(cfg, rng):
+    """The full promoted production profile (bf16x3 chain-adjacent
+    export, bf16 PSD store, bf16 intensity) holds the display band within
+    the 0.15 dB promotion criterion against the f32 fidelity pipeline on
+    the same nfft bucket."""
+    import dataclasses
+
+    from fmcw_radar_processing_tpu.config import AlgorithmConfig, RadarConfig
+
+    frames, calib = _mixed_recording(cfg, rng)
+    a_ref = dataclasses.replace(cfg.algorithm, stft_nfft=256,
+                                stft_impl="xla")
+    a_prod = AlgorithmConfig.production()
+    got_r = RadarPipeline(RadarConfig.create(cfg.device, a_ref)).process_recording(
+        _tpu_layout(frames), calib)
+    got_p = RadarPipeline(RadarConfig.create(cfg.device, a_prod)).process_recording(
+        _tpu_layout(frames), calib)
+    m = got_r.spectrogram_intensity > -40
+    err = np.abs(got_p.spectrogram_intensity[m]
+                 - got_r.spectrogram_intensity[m]).max()
+    assert err <= 0.16, err  # 0.15 criterion + comparison slack
+
+
 def test_psd_precision_plumbing():
     """Config-level psd-precision defaults (ADVICE r4): bare fidelity
     config = 'highest'; production() opts into the bf16x3 'high'."""

@@ -194,6 +194,35 @@ def test_resolves_tiled_helper():
     assert not resolves_tiled(op_big, tiled=False)
 
 
+def test_bf16_psd_store():
+    """psd_store_dtype=bfloat16 halves the inter-phase PSD round-trip;
+    display-band dB within ~0.05 of the f32-store run, psd returned
+    bf16, tiled/recompute conflicts raise."""
+    rng = np.random.default_rng(9)
+    sig = jnp.asarray(np.abs(
+        rng.standard_normal(1200) + 0.4 * np.sin(np.arange(1200) * 0.21)
+    ).astype(np.float32))
+    op = StftOperator.create(window_length=20, beta=3.0, nfft=256,
+                             fs=1000.0, hop=1)
+    p32, db32, i32 = spectrogram_pallas(sig, jnp.asarray(1200), op,
+                                        tile=512)
+    pb, dbb, ib = spectrogram_pallas(sig, jnp.asarray(1200), op, tile=512,
+                                     psd_store_dtype=jnp.bfloat16)
+    assert np.asarray(pb).dtype == jnp.bfloat16
+    m = np.asarray(db32) > -40
+    np.testing.assert_allclose(np.asarray(dbb)[m], np.asarray(db32)[m],
+                               atol=0.05)
+    mi = np.asarray(i32) > -40
+    np.testing.assert_allclose(np.asarray(ib)[mi], np.asarray(i32)[mi],
+                               atol=0.05)
+    with pytest.raises(ValueError, match="untiled"):
+        spectrogram_pallas(sig, jnp.asarray(1200), op, tiled=True,
+                           psd_store_dtype=jnp.bfloat16)
+    with pytest.raises(ValueError, match="untiled"):
+        spectrogram_pallas(sig, jnp.asarray(1200), op, recompute=True,
+                           psd_store_dtype=jnp.bfloat16)
+
+
 @pytest.mark.parametrize("variant", ["untiled", "tiled", "recompute"])
 def test_int8_intensity_emission(variant):
     """int8 kernel-epilogue emission: decoded dB within half a
