@@ -199,13 +199,17 @@ def _make_full(cfg, impl: str, nfft: int):
             psd_store = (jnp.bfloat16
                          if cfg.algorithm.stft_psd_store == "bfloat16"
                          else jnp.float32)
+            db_store = (jnp.bfloat16
+                        if cfg.algorithm.stft_db_store == "bfloat16"
+                        else jnp.float32)
             if resolves_tiled(op):
                 psd_prec = "highest"
                 psd_store = jnp.float32
+                db_store = jnp.float32
             _, db, intensity = spectrogram_pallas(
                 pair_abs(sig), count, op, cfg.algorithm.max_freq_bins,
                 intensity_dtype=int_dtype, psd_precision=psd_prec,
-                psd_store_dtype=psd_store,
+                psd_store_dtype=psd_store, db_store_dtype=db_store,
             )
         else:
             res = op(pair_abs(sig), valid_len=count)

@@ -139,6 +139,13 @@ class AlgorithmConfig:
     # together). Untiled materializing Pallas path only; fidelity
     # default "float32".
     stft_psd_store: str = "float32"
+    # Storage dtype of the [nb, T] dB map the export writes (consumed by
+    # the host for the PNG/payloads; nothing re-reads it on device).
+    # "bfloat16" halves that write at ≤ 0.125 dB quantization at the clim
+    # edge — below one 8-bit color step of the reference PNG's 40 dB
+    # range; DB_FLOOR is exactly bf16-representable so floor equality
+    # survives. Untiled materializing Pallas path only.
+    stft_db_store: str = "float32"
     # --- literal-compat flags (SURVEY Appendix A; default = intent) ---
     # Quirk #1: the 'no' branch writes target_measurements.(fr_idx, j) into
     # arrays preallocated zeros(T, F) (radar_processing.m:157-159 vs
@@ -176,7 +183,8 @@ class AlgorithmConfig:
         """
         base: dict = dict(stft_nfft=256, intensity_dtype="bfloat16",
                           stft_psd_precision="high",
-                          stft_psd_store="bfloat16")
+                          stft_psd_store="bfloat16",
+                          stft_db_store="bfloat16")
         base.update(overrides)
         # (r5) stft_psd_store="bfloat16" joined the profile at +2.2%
         # measured (5.00M vs 4.89M frames/s): display-band err 0.1411 dB
@@ -184,7 +192,10 @@ class AlgorithmConfig:
         # criterion, but the margin is thinner than r4's (bf16-intensity
         # 0.125 hard bound + ~0.03 PSD-store noise, partially canceling);
         # revert with production(stft_psd_store="float32") if a workload
-        # measures over.
+        # measures over. stft_db_store="bfloat16" added another +2.9%
+        # (5.09M) with the intensity error UNCHANGED (interpolation
+        # consumes the f32 value; only the exported dB map quantizes,
+        # ≤ 0.125 dB at the clim edge — under one PNG color step).
         return cls(**base)
 
 

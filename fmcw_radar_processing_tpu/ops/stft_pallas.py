@@ -289,7 +289,13 @@ def _db_rescale_kernel(p_ref, gmax_ref, whi_ref, wlo_ref, wnyq_ref,
         ),
         jnp.float32(DB_FLOOR),
     )
-    db_ref[:] = db
+    # bf16 dB store option: the dB map is written once and consumed by
+    # the host (PNG/payloads); bf16 quantization is ≤ 0.125 dB at the
+    # clim edge (|−40| has ulp 0.25) — below one 8-bit color step of the
+    # reference PNG's 40 dB range — and DB_FLOOR (−1000) is exactly
+    # bf16-representable, so floor equality survives. Interpolation below
+    # keeps consuming the f32 value.
+    db_ref[:] = db.astype(db_ref.dtype)
     # 3-pass bf16x3 interpolation (Mosaic has no HIGH-precision dot):
     # W = W_hi + W_lo split on the host (W_hi exactly bf16-representable,
     # so DEFAULT's operand quantization is lossless on it); db split here.
@@ -314,6 +320,7 @@ def spectrogram_pallas(
     intensity_dtype=jnp.float32, interpret: bool | None = None,
     tiled: bool | None = None, recompute: bool = False,
     psd_precision: str | None = None, psd_store_dtype=jnp.float32,
+    db_store_dtype=jnp.float32,
 ):
     """Full spectrogram export from a packed |slow-time| signal.
 
@@ -385,7 +392,8 @@ def spectrogram_pallas(
     # ~2 GB of pure padding traffic per 65536-frame replay at nfft 256.
     # The tiled path keeps 128 (its kb-blocks must divide nb_pad).
     store_bf16 = jnp.dtype(psd_store_dtype) == jnp.dtype(jnp.bfloat16)
-    align = 16 if store_bf16 else 8
+    db_bf16 = jnp.dtype(db_store_dtype) == jnp.dtype(jnp.bfloat16)
+    align = 16 if (store_bf16 or db_bf16) else 8
     nb_pad = -(-nb // align) * align
     l = sig.shape[0]
     t = l - wl + 1
@@ -402,11 +410,11 @@ def spectrogram_pallas(
                          f"got {psd_precision!r}")
     if tiled is None:
         tiled = nb_pad > 512
-    if store_bf16 and (tiled or recompute):
+    if (store_bf16 or db_bf16) and (tiled or recompute):
         raise ValueError(
-            "psd_store_dtype=bfloat16 applies to the untiled materializing "
-            "path only (the tiled path streams f32 bin blocks; recompute "
-            "never stores the PSD)")
+            "psd_store_dtype/db_store_dtype=bfloat16 apply to the untiled "
+            "materializing path only (the tiled path streams f32 bin "
+            "blocks; recompute never stores the PSD)")
     if tiled:
         # The bin-blocked path is HIGHEST-only and always materializes the
         # PSD; silently ignoring an explicit conflicting request would hand
@@ -472,7 +480,8 @@ def spectrogram_pallas(
             interpret=interpret,
         )(frames, jnp.asarray(a2_hi), jnp.asarray(a2_lo), nv)
         return _phase2_untiled(p_pad, tmax, op, nb, nb_pad, num_bins,
-                               tile2, t_pad, t, intensity_dtype, interpret)
+                               tile2, t_pad, t, intensity_dtype, interpret,
+                               db_store_dtype)
     p_pad, tmax = pl.pallas_call(
         functools.partial(_psd_kernel, tile=tile, nb_pad=nb_pad),
         grid=(n_tiles,),
@@ -502,12 +511,14 @@ def spectrogram_pallas(
         interpret=interpret,
     )(frames, a2, nv)
     return _phase2_untiled(p_pad, tmax, op, nb, nb_pad, num_bins,
-                           tile2, t_pad, t, intensity_dtype, interpret)
+                           tile2, t_pad, t, intensity_dtype, interpret,
+                           db_store_dtype)
 
 
 def _phase2_untiled(p_pad, tmax, op: StftOperator, nb: int, nb_pad: int,
                     num_bins: int, tile2: int, t_pad: int, t: int,
-                    intensity_dtype, interpret: bool):
+                    intensity_dtype, interpret: bool,
+                    db_store_dtype=jnp.float32):
     """Shared untiled phase 2: PSD tiles → dB + interpolated intensity."""
     gmax = jnp.max(tmax)  # the one cross-tile dependency (global-max dB)
 
@@ -545,7 +556,7 @@ def _phase2_untiled(p_pad, tmax, op: StftOperator, nb: int, nb_pad: int,
                          memory_space=pltpu.VMEM),
         ],
         out_shape=[
-            jax.ShapeDtypeStruct((nb_pad, t_pad), jnp.float32),
+            jax.ShapeDtypeStruct((nb_pad, t_pad), db_store_dtype),
             # bf16 emission happens in the kernel epilogue: casting the
             # f32 artifact afterwards would re-read and re-write the
             # chain's largest tensor (measured -25% end to end).
@@ -553,12 +564,14 @@ def _phase2_untiled(p_pad, tmax, op: StftOperator, nb: int, nb_pad: int,
         ],
         cost_estimate=pl.CostEstimate(
             flops=2 * t_pad * num_bins * k_main,
-            # Real store dtypes: p read at its own itemsize (2 when the
-            # bf16-PSD-store option is on), db write f32, intensity write
-            # in its own itemsize (2 for bf16, 1 for int8). XLA's cost
-            # analysis reports a custom call's declared estimate, so this
-            # is what bench.py --roofline sums for the kernel's traffic.
-            bytes_accessed=((4 + p_pad.dtype.itemsize) * nb_pad * t_pad
+            # Real store dtypes: p read and db write at their own
+            # itemsizes (2 when the bf16 store options are on), intensity
+            # write in its own itemsize (2 for bf16, 1 for int8). XLA's
+            # cost analysis reports a custom call's declared estimate, so
+            # this is what bench.py --roofline sums for the kernel's
+            # traffic.
+            bytes_accessed=((jnp.dtype(db_store_dtype).itemsize
+                             + p_pad.dtype.itemsize) * nb_pad * t_pad
                             + jnp.dtype(intensity_dtype).itemsize
                             * num_bins * t_pad),
             transcendentals=nb_pad * t_pad,  # log

@@ -150,9 +150,12 @@ class RadarPipeline:
             psd_prec = a.stft_psd_precision
             psd_store = (jnp.bfloat16 if a.stft_psd_store == "bfloat16"
                          else jnp.float32)
+            db_store = (jnp.bfloat16 if a.stft_db_store == "bfloat16"
+                        else jnp.float32)
             if resolves_tiled(op):
                 psd_prec = "highest"
                 psd_store = jnp.float32  # tiled path streams f32 blocks
+                db_store = jnp.float32
 
             @jax.jit
             def stage(signal_abs: jax.Array, valid_len: jax.Array):
@@ -161,7 +164,7 @@ class RadarPipeline:
                 _, db, intensity = spectrogram_pallas(
                     signal_abs, valid_len, op, a.max_freq_bins,
                     intensity_dtype=int_dtype, psd_precision=psd_prec,
-                    psd_store_dtype=psd_store,
+                    psd_store_dtype=psd_store, db_store_dtype=db_store,
                 )
                 freqs = jnp.arange(
                     op.num_bins, dtype=jnp.float32
@@ -241,7 +244,8 @@ class RadarPipeline:
             np.asarray(log_bins),
             intensity_np[:, :n_valid],
             np.asarray(freqs),
-            np.asarray(db)[:, :n_valid],
+            # f32 host copy (the bf16 db-store option reaches here bf16).
+            np.asarray(db).astype(np.float32)[:, :n_valid],
         )
 
     def process_recording(

@@ -314,6 +314,13 @@ def test_production_profile_display_band(cfg, rng):
     err = np.abs(got_p.spectrogram_intensity[m]
                  - got_r.spectrogram_intensity[m]).max()
     assert err <= 0.16, err  # 0.15 criterion + comparison slack
+    # The exported dB map (the PNG source) under the bf16 db-store option:
+    # pure quantization, ≤ 0.125 dB at the clim edge + kernel noise.
+    assert got_p.spectrogram_psd_db.dtype == np.float32
+    md = got_r.spectrogram_psd_db > -40
+    errd = np.abs(got_p.spectrogram_psd_db[md]
+                  - got_r.spectrogram_psd_db[md]).max()
+    assert errd <= 0.15, errd
 
 
 def test_psd_precision_plumbing():
