@@ -766,12 +766,17 @@ def run_matrix(quick: bool = False) -> list[dict]:
         {"impl": "pallas_profile_high", "stft_psd_precision": "high"},
         {"impl": "pallas_profile_high", "intensity_dtype": "bfloat16",
          "stft_psd_precision": "high"},
-        # r5 promoted production default: + bf16 PSD store (the
-        # inter-phase [nb, T] round-trip at half traffic; measured +2.2%,
-        # display-band 0.1411 dB — the thin-margin note lives in
-        # AlgorithmConfig.production).
+        # r5: + bf16 PSD store (the inter-phase [nb, T] round-trip at
+        # half traffic; measured +2.2%, display-band 0.1411 dB — the
+        # thin-margin note lives in AlgorithmConfig.production).
         {"impl": "pallas_profile_high", "intensity_dtype": "bfloat16",
          "stft_psd_precision": "high", "stft_psd_store": "bfloat16"},
+        # r5 promoted production default: + bf16 dB-map store (+2.9%
+        # more; intensity error unchanged — the interpolation consumes
+        # the f32 value, only the host-consumed dB export quantizes).
+        {"impl": "pallas_profile_high", "intensity_dtype": "bfloat16",
+         "stft_psd_precision": "high", "stft_psd_store": "bfloat16",
+         "stft_db_store": "bfloat16"},
         # r5 (VERDICT r4 item 5): int8 affine intensity emission in the
         # phase-2 epilogue — the export kernel is output-bandwidth-bound
         # (ROOFLINE_r04: 5.55 of 13.39 ms/iter), so quartering its
@@ -1012,20 +1017,23 @@ def _roofline_entry(cfg, full, args, frames: int, nfft: int,
     xla_bpf = xla_bytes / frames
     hbm_peak = chip_peak_hbm_gbps()
     peak = chip_peak_flops()
-    # The profiler's module device time is the authoritative rate for
-    # small programs: the (T(n)−T(1))/(n−1) wall estimator carries the
-    # tunnel dispatch constant in both endpoints and overshoots when the
-    # per-iteration device time is ≪ the ~25 ms dispatch jitter.
+    # The profiler's module device time bounds the rate for small
+    # programs: the (T(n)−T(1))/(n−1) wall estimator carries the tunnel
+    # dispatch constant in both endpoints and OVERSHOOTS when the
+    # per-iteration device time is ≪ the ~25 ms dispatch jitter. Only
+    # substitute DOWNWARD (fps_dev < fps): a trace that dropped module
+    # events would inflate fps_dev, and recording an inflated reading as
+    # "authoritative" is the 47.8M-incident failure mode (ADVICE r5).
     fps_dev = frames / (dev_us * 1e-6) if dev_us else None
-    entry_fps = fps_dev if (fps_dev and abs(fps - fps_dev) / fps_dev > 0.1
-                            ) else fps
+    entry_fps = fps_dev if (fps_dev and fps_dev < fps
+                            and (fps - fps_dev) / fps_dev > 0.1) else fps
     out_extra = {}
     if fps_dev and entry_fps is fps_dev:
         out_extra["fps_note"] = (
             "frames_per_s taken from the profiler's module device time "
-            "(authoritative); the wall difference estimator read "
-            f"{round(fps, 1)} — its dispatch-constant jitter dominates at "
-            "this program size")
+            "(a lower, conservative bound); the wall difference estimator "
+            f"read {round(fps, 1)} — its dispatch-constant jitter "
+            "dominates at this program size")
     if hbm_peak and entry_fps * xla_bpf / 1e9 > hbm_peak:
         out_extra["bandwidth_note"] = (
             "implied GB/s from the XLA cost-analysis bytes exceeds the "
@@ -1136,8 +1144,10 @@ def run_roofline(quick: bool = False) -> dict:
     sbytes, sflops = _xla_cost(step.lower(*sargs).compile())
     import statistics
 
+    stream_trials = 5
     dt_win = statistics.median(
-        _bench_streaming_steady(sp, raw_c, calib_c) for _ in range(5)
+        _bench_streaming_steady(sp, raw_c, calib_c)
+        for _ in range(stream_trials)
     )
     frames_win = c * wf
     fps5 = frames_win / dt_win
@@ -1171,7 +1181,8 @@ def run_roofline(quick: bool = False) -> dict:
                         if peak else None),
         "note": ("bytes/flops from the single-window _step program's XLA "
                  "cost analysis; throughput from the two-large-endpoint "
-                 "carry-threaded difference estimator (median of 3)"),
+                 "carry-threaded difference estimator (median of "
+                 f"{stream_trials})"),
     }
 
     artifact = {

@@ -331,7 +331,9 @@ def _multiproc_dp_point(n: int, fpd: int, ncores: int) -> float:
 def _sp_distributed_point(nproc: int, spd: int, ncores: int) -> dict:
     """One jax.distributed sp run (real Gloo collectives) → cols/s."""
     coord = f"127.0.0.1:{_free_port()}"
-    start_at = time.time() + 10
+    # Barrier only means something with >1 process to synchronize; the
+    # N=1 baseline (3 trials) would otherwise sleep 30 s for nothing.
+    start_at = time.time() + (10 if nproc > 1 else 0)
     procs = [
         _run_sub(
             {"BENCH_SP_COORD": coord, "BENCH_SP_NPROC": nproc,

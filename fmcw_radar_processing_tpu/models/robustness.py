@@ -136,6 +136,11 @@ def generate_condition_images(
         # Parameter mismatch: drop the stale set entirely (leftover images
         # from a larger previous run would otherwise leak into the eval).
         shutil.rmtree(out_dir)
+    elif os.path.isdir(out_dir):
+        # Directory without stats.json = a crashed partial generation
+        # (stats.json is written LAST); its leftover images would leak
+        # into the eval set, so purge before regenerating (ADVICE r5).
+        shutil.rmtree(out_dir)
     os.makedirs(out_dir, exist_ok=True)
     pipe = RadarPipeline(cfg)
     rng = np.random.default_rng(seed)
@@ -230,12 +235,18 @@ def run_robustness_sweep(
                       f"{mixture_ratio[0]:g}-{mixture_ratio[1]:g}")
     else:
         train_kind = "clean"
-    # Key the cached train set by the parameters that shape it (the
-    # condition sets get the full gen_key treatment; here the dir name
-    # carries the knobs so modes/sizes never collide).
+    # Key the cached train set by EVERY parameter that shapes it: the
+    # readable knobs in the dir name plus a digest of the rest (seed,
+    # classes, render size, cfg — a seed change silently reusing the old
+    # images was the r4 cache bug's class; ADVICE r5).
+    train_key = hashlib.sha256(json.dumps({
+        "classes": [dataclasses.asdict(c) for c in classes],
+        "seed": seed, "render_size": list(render_size),
+        "cfg": repr(cfg),
+    }, sort_keys=True, default=str).encode()).hexdigest()[:10]
     train_dir = os.path.join(
         out_dir, f"train_{train_kind}_{train_images_per_class}x"
-                 f"{frames_per_recording}")
+                 f"{frames_per_recording}_{train_key}")
     if not os.path.isdir(train_dir):
         log(f"generating {train_kind} train set "
             f"({train_images_per_class}/class)")

@@ -120,11 +120,15 @@ def _psd_kernel(fr_ref, op_ref, nv_ref, p_ref, tmax_ref, *,
     # bf16 PSD store option: the [nb_pad, T] PSD round-trip between the
     # phases is pure inter-kernel traffic on a bandwidth-bound chain;
     # bf16 halves it at ~2^-9 relative ⇒ ≤ 20·log10(1+2^-9) ≈ 0.017 dB
-    # through the dB map (p and gmax quantize together). tmax is taken
-    # from the f32 value BEFORE the store cast.
-    p_ref[:] = p.astype(p_ref.dtype)
+    # through the dB map. tmax is the max of the QUANTIZED values — the
+    # same numbers phase 2 will read — so stored_p/gmax ≤ 1 holds and the
+    # global max still maps to exactly 0 dB (a pre-cast f32 max could sit
+    # below an up-rounded stored bin and push the dB map slightly
+    # positive; ADVICE r5).
+    pq = p.astype(p_ref.dtype)
+    p_ref[:] = pq
     # Whole tmax array is SMEM-mapped every step; write this tile's slot.
-    tmax_ref[i] = jnp.max(p)
+    tmax_ref[i] = jnp.max(pq.astype(jnp.float32))
 
 
 def _psd_kernel_b3(fr_ref, ophi_ref, oplo_ref, nv_ref, p_ref, tmax_ref, *,
@@ -146,8 +150,9 @@ def _psd_kernel_b3(fr_ref, ophi_ref, oplo_ref, nv_ref, p_ref, tmax_ref, *,
     p = s2[:nb_pad] ** 2 + s2[nb_pad:] ** 2
     col = i * tile + jax.lax.broadcasted_iota(jnp.int32, p.shape, 1)
     p = jnp.where(col < nv_ref[0], p, 0.0)
-    p_ref[:] = p.astype(p_ref.dtype)  # see _psd_kernel's bf16-store note
-    tmax_ref[i] = jnp.max(p)
+    pq = p.astype(p_ref.dtype)  # see _psd_kernel's bf16-store note
+    p_ref[:] = pq
+    tmax_ref[i] = jnp.max(pq.astype(jnp.float32))
 
 
 def _tmax_kernel(fr_ref, op_ref, nv_ref, tmax_ref, *, tile: int,
@@ -504,7 +509,11 @@ def spectrogram_pallas(
         ],
         cost_estimate=pl.CostEstimate(
             flops=2 * t_pad * 2 * nb_pad * wl,
-            bytes_accessed=(4 * t_pad + jnp.dtype(psd_store_dtype).itemsize
+            # frames block is (wl, tile) per grid step — 4·wl·t_pad, like
+            # the bf16x3 variant (a 4·t_pad typo here understated HIGHEST
+            # rows' phase-1 traffic ~12% in the roofline; ADVICE r5).
+            bytes_accessed=(4 * wl * t_pad
+                            + jnp.dtype(psd_store_dtype).itemsize
                             * nb_pad * t_pad),
             transcendentals=0,
         ),

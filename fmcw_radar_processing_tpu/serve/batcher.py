@@ -71,7 +71,14 @@ class ClassifyBatcher:
         with self._mu:
             if self._stopped:
                 raise RuntimeError("batcher is stopped")
-            if self._pending_images + len(images) > self.max_queue_images:
+            # Admission: reject only when adding to a NON-empty queue would
+            # exceed the bound. A single over-sized request with an empty
+            # queue is always admitted — the classifier chunks internally
+            # at MAX_BATCH_BUCKET, and rejecting it would make it
+            # permanently unservable (no retry could ever succeed).
+            if (self._pending_images > 0
+                    and self._pending_images + len(images)
+                    > self.max_queue_images):
                 self.stats["rejected"] += 1
                 raise QueueFullError(
                     f"classification queue full "

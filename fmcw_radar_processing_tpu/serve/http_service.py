@@ -31,6 +31,7 @@ accumulating unbounded latency. Zero third-party dependencies.
 
 from __future__ import annotations
 
+import concurrent.futures
 import json
 import threading
 import time
@@ -182,6 +183,17 @@ class _Handler(BaseHTTPRequestHandler):
             # retry against another replica instead of queueing unbounded.
             self._send(503, {"status": "error",
                              "message": f"overloaded: {e}"})
+            return
+        except concurrent.futures.TimeoutError:
+            # Server-side overload (the future never resolved): 5xx so
+            # client retry/backoff logic engages — NOT a bad request. The
+            # orphaned batch still runs and is discarded; acceptable for
+            # a 300 s pathological stall.
+            with self.stats_lock:
+                self.stats["errors"] += 1
+            self._send(503, {"status": "error",
+                             "message": "overloaded: classification timed "
+                                        "out in queue"})
             return
         except Exception as e:
             with self.stats_lock:

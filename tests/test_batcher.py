@@ -94,6 +94,20 @@ def test_queue_full_raises():
         b.stop()
 
 
+def test_oversized_request_admitted_when_idle():
+    """A single request larger than the queue bound must be served (the
+    classifier chunks internally) — only a NON-empty queue rejects."""
+    clf = _FakeClassifier()
+    b = ClassifyBatcher(clf, max_queue_images=2)
+    try:
+        out = b.classify(np.stack([_img(i / 8.0) for i in range(5)]),
+                         timeout=30)
+        assert [r["score"] for r in out] == pytest.approx(
+            [i / 8.0 for i in range(5)])
+    finally:
+        b.stop()
+
+
 def test_error_propagates_per_request():
     class Boom(_FakeClassifier):
         def classify(self, images):

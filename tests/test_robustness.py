@@ -122,6 +122,8 @@ def test_mixture_augmented_sweep(tmp_path):
     assert report["mixture_augment"] is True
     assert report["mixture_frac"] == 1.0
     assert os.path.exists(tmp_path / "robustness_small_mixture.json")
-    assert os.path.isdir(tmp_path / "train_mixture1_0.25-0.85_2x16")
+    import glob
+
+    assert glob.glob(str(tmp_path / "train_mixture1_0.25-0.85_2x16_*"))
     with open(tmp_path / "robustness_small_mixture.json") as f:
         assert json.load(f)["mixture_augment"] is True
