@@ -363,28 +363,33 @@ def _repeat_jit(scalar_fn, n: int):
 
 def _time_steady(scalar_fn, args, inner: int = 8, iters: int = 3) -> float:
     """Steady-state per-iteration device time via on-device repetition:
-    (time(inner runs) − time(1 run)) / (inner − 1).
+    (time(2·inner runs) − time(inner runs)) / inner — TWO LARGE endpoints.
 
-    The tunneled runtime charges a fixed ~24 ms host↔device round trip per
-    dispatch, which would swamp a ~20 ms kernel measurement; repeating the
-    workload inside one program and differencing against a single run
-    isolates what the chip itself does — the number that scales to
-    production (where the dispatcher is local and overlapped)."""
-    r1 = _repeat_jit(scalar_fn, 1)
-    rn = _repeat_jit(scalar_fn, inner)
-    _scalar(r1(*args))
-    _scalar(rn(*args))
-    b1 = bn = float("inf")
+    The tunneled runtime charges a fixed ~24 ms host↔device round trip
+    per dispatch, which would swamp a per-iteration measurement;
+    repeating the workload inside one program and differencing two
+    repeat counts cancels the constant. The r4 form differenced against
+    a SINGLE run — its small endpoint is mostly dispatch constant, and
+    at small workloads (config 3's 4096 frames ≈ 0.7 ms/iter) ±2 ms of
+    endpoint jitter swung the estimate up to 2× (one median-of-3 read
+    8.2M frames/s = 880 GB/s implied, above the HBM roof). With both
+    endpoints ≫ the dispatch time the constant cancels robustly — the
+    streaming bench learned this in r4; this applies it everywhere."""
+    ra = _repeat_jit(scalar_fn, inner)
+    rb = _repeat_jit(scalar_fn, 2 * inner)
+    _scalar(ra(*args))
+    _scalar(rb(*args))
+    ba = bb = float("inf")
     for _ in range(iters):
         t0 = time.perf_counter()
-        _scalar(r1(*args))
-        b1 = min(b1, time.perf_counter() - t0)
+        _scalar(ra(*args))
+        ba = min(ba, time.perf_counter() - t0)
         t0 = time.perf_counter()
-        _scalar(rn(*args))
-        bn = min(bn, time.perf_counter() - t0)
-    dt = (bn - b1) / (inner - 1)
+        _scalar(rb(*args))
+        bb = min(bb, time.perf_counter() - t0)
+    dt = (bb - ba) / inner
     if dt <= 0:  # timing noise swamped the difference (tiny workloads on
-        dt = bn / inner  # CPU smoke runs): fall back to the inclusive rate
+        dt = bb / (2 * inner)  # CPU smoke): fall back to the inclusive rate
     return dt
 
 
@@ -445,7 +450,7 @@ def _bench_streaming_steady(sp, raw_c, calib_c, inner: int = 8,
 
 
 def bench_tpu(cfg, raw, calib, iters: int = 3, impl: str = "auto",
-              nfft: int = 256, inner: int = 8) -> float:
+              nfft: int = 256, inner: int | None = None) -> float:
     import jax.numpy as jnp
 
     full = _make_full(cfg, impl, nfft)
@@ -455,6 +460,11 @@ def bench_tpu(cfg, raw, calib, iters: int = 3, impl: str = "auto",
     import numpy as np
 
     raw = np.asarray(raw).reshape(raw.shape[0], cfg.pn, -1)
+    if inner is None:
+        # Keep the smaller endpoint's on-device time ≫ the ~2 ms dispatch
+        # jitter: ~8 iterations at 65k frames (13 ms/iter), more at small
+        # workloads.
+        inner = 8 if raw.shape[0] >= 32768 else 32
     dt = _time_steady(full, (jnp.asarray(raw), jnp.asarray(calib)),
                       inner=inner, iters=iters)
     return raw.shape[0] / dt
@@ -626,6 +636,12 @@ def run_matrix(quick: bool = False) -> list[dict]:
             row["achieved_gbps"] = round(gbps, 1)
             row["hbm_pct"] = (round(100 * gbps / hbm_peak, 1)
                               if hbm_peak else None)
+            if hbm_peak and gbps > hbm_peak:
+                row["bandwidth_note"] = (
+                    "implied GB/s above the HBM roof — physically "
+                    "impossible; estimator overshoot at this program "
+                    "size (see the ROOFLINE entry for the device-trace "
+                    "rate)")
         row.update(extra or {})
         rows.append(row)
         print(json.dumps(row), flush=True)
@@ -766,14 +782,15 @@ def run_matrix(quick: bool = False) -> list[dict]:
         {"impl": "pallas_profile_high", "stft_psd_precision": "high"},
         {"impl": "pallas_profile_high", "intensity_dtype": "bfloat16",
          "stft_psd_precision": "high"},
-        # r5: + bf16 PSD store (the inter-phase [nb, T] round-trip at
-        # half traffic; measured +2.2%, display-band 0.1411 dB — the
-        # thin-margin note lives in AlgorithmConfig.production).
+        # r5 promoted production default: + bf16 dB-map store (intensity
+        # error unchanged — the interpolation consumes the f32 value,
+        # only the host-consumed dB export quantizes; measured +3%).
         {"impl": "pallas_profile_high", "intensity_dtype": "bfloat16",
-         "stft_psd_precision": "high", "stft_psd_store": "bfloat16"},
-        # r5 promoted production default: + bf16 dB-map store (+2.9%
-        # more; intensity error unchanged — the interpolation consumes
-        # the f32 value, only the host-consumed dB export quantizes).
+         "stft_psd_precision": "high", "stft_db_store": "bfloat16"},
+        # r5 opt-in, TRIED AND DEMOTED from production: + bf16 PSD
+        # inter-phase store (~+2% more) — its display-band error rides
+        # the whole map through the gmax normalization, measured
+        # 0.141–0.155 dB across workloads, straddling the 0.15 criterion.
         {"impl": "pallas_profile_high", "intensity_dtype": "bfloat16",
          "stft_psd_precision": "high", "stft_psd_store": "bfloat16",
          "stft_db_store": "bfloat16"},

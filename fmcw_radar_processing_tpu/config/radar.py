@@ -183,19 +183,19 @@ class AlgorithmConfig:
         """
         base: dict = dict(stft_nfft=256, intensity_dtype="bfloat16",
                           stft_psd_precision="high",
-                          stft_psd_store="bfloat16",
                           stft_db_store="bfloat16")
         base.update(overrides)
-        # (r5) stft_psd_store="bfloat16" joined the profile at +2.2%
-        # measured (5.00M vs 4.89M frames/s): display-band err 0.1411 dB
-        # vs the f64 oracle on the recorded workload — within the 0.15
-        # criterion, but the margin is thinner than r4's (bf16-intensity
-        # 0.125 hard bound + ~0.03 PSD-store noise, partially canceling);
-        # revert with production(stft_psd_store="float32") if a workload
-        # measures over. stft_db_store="bfloat16" added another +2.9%
-        # (5.09M) with the intensity error UNCHANGED (interpolation
-        # consumes the f32 value; only the exported dB map quantizes,
-        # ≤ 0.125 dB at the clim edge — under one PNG color step).
+        # (r5) stft_db_store="bfloat16" joined the profile: the exported
+        # dB map is host-consumed only, so quantizing its STORE
+        # (≤ 0.125 dB at the clim edge — under one PNG color step) leaves
+        # the intensity artifact untouched (the in-kernel interpolation
+        # consumes the f32 value) — measured +3% end to end.
+        # stft_psd_store="bfloat16" (another ~+2%) was TRIED AND DEMOTED:
+        # its display-band error rides the whole map through the gmax
+        # normalization and measured 0.141–0.155 dB across workloads —
+        # straddling the 0.15 criterion, and a default must hold the
+        # bound on every workload, not on the lucky ones. It remains an
+        # explicit opt-in for display-tolerant deployments.
         return cls(**base)
 
 
