@@ -321,7 +321,7 @@ def _db_rescale_kernel(p_ref, gmax_ref, whi_ref, wlo_ref, wnyq_ref,
 
 def spectrogram_pallas(
     sig: jax.Array, valid_len: jax.Array, op: StftOperator,
-    num_bins: int = 1024, tile: int = 2048, tile2: int = 512,
+    num_bins: int = 1024, tile: int = 2048, tile2: int | None = None,
     intensity_dtype=jnp.float32, interpret: bool | None = None,
     tiled: bool | None = None, recompute: bool = False,
     psd_precision: str | None = None, psd_store_dtype=jnp.float32,
@@ -382,10 +382,6 @@ def spectrogram_pallas(
         interpret = jax.default_backend() not in ("tpu", "axon")
     if op.hop != 1:
         raise ValueError("spectrogram_pallas supports hop=1 only")
-    if tile % tile2:
-        # Phase 2's grid is t_pad // tile2; a non-divisor tile2 would leave
-        # trailing columns unwritten (uninitialized memory) silently.
-        raise ValueError(f"tile ({tile}) must be a multiple of tile2 ({tile2})")
     wl = op.window_length
     nb = op.num_bins
     # Storage alignment: 8-row sublane multiples (16 when the PSD is
@@ -415,6 +411,26 @@ def spectrogram_pallas(
                          f"got {psd_precision!r}")
     if tiled is None:
         tiled = nb_pad > 512
+    if tile2 is None:
+        # Adaptive phase-2 tile: 1024 halves the grid-step count and
+        # measured −8.7% on the export stage (8.24 → 7.52 ms per 1M
+        # columns at the production dtypes) — but its double-buffered
+        # blocks only fit the 16 MB scoped-VMEM limit when the per-column
+        # output stores are narrow (all-f32 measured a compile-time OOM
+        # at 17.96 MB). Rule: 1024 when p-read + db-write + intensity-
+        # write ≤ 8 B per element (e.g. f32 PSD + bf16 dB + bf16/int8
+        # intensity — the production profile), else the safe 512. The
+        # bin-blocked tiled path keeps 512 (its f32 scratch accumulator
+        # is [num_bins, tile2] and nfft-independent VMEM is its point).
+        out_b = (jnp.dtype(intensity_dtype).itemsize
+                 + jnp.dtype(db_store_dtype).itemsize
+                 + jnp.dtype(psd_store_dtype).itemsize)
+        tile2 = 1024 if (not tiled and out_b <= 8
+                         and tile % 1024 == 0) else 512
+    if tile % tile2:
+        # Phase 2's grid is t_pad // tile2; a non-divisor tile2 would leave
+        # trailing columns unwritten (uninitialized memory) silently.
+        raise ValueError(f"tile ({tile}) must be a multiple of tile2 ({tile2})")
     if (store_bf16 or db_bf16) and (tiled or recompute):
         raise ValueError(
             "psd_store_dtype/db_store_dtype=bfloat16 apply to the untiled "
